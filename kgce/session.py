@@ -10,8 +10,32 @@ core count rather than the 200 default.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``kgce`` importable on executors regardless of launch cwd.
+
+    Local mode inherits the driver's sys.path only when the launch cwd
+    happens to contain the package; a cluster never does.  Zipping the
+    package and ``addPyFile``-ing it covers both (the spark-submit
+    ``--py-files`` path in kgce/submit.py does the same thing up front).
+    """
+    pkg_dir = Path(__file__).resolve().parent
+    # content-addressed name: code edits get a fresh archive, re-adding the
+    # same content to the same context is a no-op
+    stamp = max(p.stat().st_mtime_ns for p in pkg_dir.rglob("*.py"))
+    zip_base = Path(tempfile.gettempdir()) / f"kgce_pkg_{stamp:x}"
+    if not zip_base.with_suffix(".zip").exists():
+        shutil.make_archive(str(zip_base), "zip", root_dir=pkg_dir.parent, base_dir="kgce")
+    try:
+        spark.sparkContext.addPyFile(str(zip_base.with_suffix(".zip")))
+    except Exception:
+        pass  # already added in this context
 
 
 def get_spark(
@@ -54,4 +78,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark

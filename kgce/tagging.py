@@ -1,0 +1,155 @@
+"""Mention detection: pages -> sentences -> BIO tags -> mentions.
+
+The scale-critical design decision: the whole chain
+sentence-split -> tokenize -> tag -> BIO-repair -> span-decode is
+sentence-local, so it runs as ONE ``mapInPandas`` over the pages scan —
+a single narrow stage, zero shuffles between the Iceberg/parquet scan and
+the mentions table.  Catalyst prunes ``html``/``warc_ts`` out of the scan
+because the UDF only selects (url, text).
+
+Taggers are pluggable: ``rule`` is the deterministic mock (shared with the
+oracle so parity is exact, SURVEY.md §5.2); ``model`` is the
+transformer path (reference task.py:359-432) — same interface, lazy
+per-worker model load, gated on torch availability.
+
+Reference lifecycle being re-expressed:
+run_transformer_batch_prediction.py:57-72 (per-file loop -> one DataFrame),
+task.py:494-505 (predict = infer + sys-label mask + __fix_bio),
+output_format_converter.py:156-191 (tag2entity -> mentions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import oracle, schemas
+
+TagFn = Callable[[list[str]], list[str]]
+
+
+def get_tagger(name: str = "rule") -> TagFn:
+    if name == "rule":
+        return oracle.rule_tag_sentence
+    if name == "model":
+        return _model_tagger()
+    raise ValueError(f"unknown tagger: {name}")
+
+
+def _model_tagger() -> TagFn:
+    """Transformer token-classifier tagger (U2).
+
+    Real deployments load a HF checkpoint once per Python worker and run
+    batched inference (the reference's eval loop, task.py:359-432, with
+    subword->word first-piece alignment via fast-tokenizer word_ids()).
+    torch/transformers are not installed in this sandbox, so the loader
+    raises; the surrounding Spark plumbing is identical for rule/model.
+    """
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - sandbox has no torch
+        raise NotImplementedError(
+            "model tagger requires torch+transformers; use tagger='rule'"
+        ) from exc
+    raise NotImplementedError("model weights not distributed in this sandbox")
+
+
+# --------------------------------------------------------------------------
+# pages -> sentences (S4/S5/U10)
+# --------------------------------------------------------------------------
+
+
+def extract_sentences(pages: DataFrame) -> DataFrame:
+    """Sentence-split + tokenize with absolute char offsets.
+
+    Narrow mapInPandas; selects only (url, text) so the binary ``html``
+    column is pruned at the scan.
+    """
+
+    def split_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("url", "sent_id", "sent_start", "sent_end",
+                                   "tokens", "tok_starts", "tok_ends")}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if text is None:
+                    continue
+                for sid, (s, e) in enumerate(oracle.split_sentences(text)):
+                    toks = oracle.tokenize(text[s:e], base=s)
+                    if not toks:
+                        continue
+                    out["url"].append(url)
+                    out["sent_id"].append(sid)
+                    out["sent_start"].append(s)
+                    out["sent_end"].append(e)
+                    out["tokens"].append([t[0] for t in toks])
+                    out["tok_starts"].append([t[1] for t in toks])
+                    out["tok_ends"].append([t[2] for t in toks])
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "text").mapInPandas(split_batches, schema=schemas.SENTENCES)
+
+
+# --------------------------------------------------------------------------
+# sentences -> tagged sentences
+# --------------------------------------------------------------------------
+
+
+def tag_sentences(sentences: DataFrame, tagger: str = "rule") -> DataFrame:
+    """Attach repaired BIO labels (tag + sys-label mask + __fix_bio)."""
+
+    def tag_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag_fn = get_tagger(tagger)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["labels"] = [oracle.fix_bio(tag_fn(list(toks))) for toks in pdf["tokens"]]
+            yield pdf
+
+    return sentences.mapInPandas(tag_batches, schema=schemas.TAGGED_SENTENCES)
+
+
+# --------------------------------------------------------------------------
+# pages -> mentions: the fused single-stage path (the production plan)
+# --------------------------------------------------------------------------
+
+
+def extract_mentions(pages: DataFrame, tagger: str = "rule") -> DataFrame:
+    """Fused split+tokenize+tag+repair+decode in one narrow stage.
+
+    mention_id is assigned per page in (start, end) order — the brat
+    ``T1..Tn`` numbering (W7) — computable in-UDF because a page's
+    sentences never span UDF batches here (one input row == one page).
+    """
+
+    def mention_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag_fn = get_tagger(tagger)
+        for pdf in it:
+            rows = {k: [] for k in ("url", "sent_id", "mention_id", "text",
+                                    "start", "end", "type")}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if text is None:
+                    continue
+                page_ms = []
+                for sid, (s, e) in enumerate(oracle.split_sentences(text)):
+                    toks = oracle.tokenize(text[s:e], base=s)
+                    if not toks:
+                        continue
+                    words = [t[0] for t in toks]
+                    offs = [(t[1], t[2]) for t in toks]
+                    labels = oracle.fix_bio(tag_fn(words))
+                    for sp in oracle.decode_spans_converter(words, offs, labels):
+                        page_ms.append((sid, sp.text, sp.char_s, sp.char_e, sp.etype))
+                page_ms.sort(key=lambda m: (m[2], m[3]))
+                for mid, (sid, mtext, ms, me, mt) in enumerate(page_ms, start=1):
+                    rows["url"].append(url)
+                    rows["sent_id"].append(sid)
+                    rows["mention_id"].append(mid)
+                    rows["text"].append(mtext)
+                    rows["start"].append(ms)
+                    rows["end"].append(me)
+                    rows["type"].append(mt)
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "text").mapInPandas(mention_batches, schema=schemas.MENTIONS)
