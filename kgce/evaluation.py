@@ -1,0 +1,159 @@
+"""Strict/relax span-level P/R/F evaluation as ONE Spark query.
+
+Relational re-expression of the reference's BioEval
+(/root/reference/src/common_utils/bio_prf_eval.py:192-283):
+
+* J4 strict match  — equi-join on (url, sent_id, cate, tok_s, tok_e);
+  with spans extracted by the eval scan, boundary equality + both sides
+  starting with ``b-`` is exactly token-for-token strict equality, and the
+  "gold continues past end" clause is absorbed by gold-boundary equality.
+* J5 relax match   — interval-overlap theta-join per (url, sent_id, cate).
+* J6 one-credit    — the reference walks predictions left-to-right and
+  charges the FIRST gold span (in gold left-to-right order) of the same
+  cate whose interval TOUCHES the prediction (its overlap test compares
+  an exclusive end with ``<``, so touching counts); each gold has one
+  credit; strict matches do NOT consume credit; an uncredited
+  relax-matching prediction is skipped entirely (neither TP nor FP).
+  Relationally: assign each non-strict prediction to its first touching
+  gold, then ``row_number`` per gold ordered by prediction position.
+
+The whole thing is joins + windows + one rollup — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .operators.spans import eval_spans
+
+
+def _spans(tokens: DataFrame, label_col: str) -> DataFrame:
+    t = tokens.select("url", "sent_id", "pos", F.col(label_col).alias("label"))
+    return eval_spans(t)
+
+
+def evaluate_tokens(tokens: DataFrame) -> DataFrame:
+    """Input: (url, sent_id, pos, gold_label, pred_label) token rows.
+
+    Output: one row per category plus an ``overall`` rollup row with
+    columns (cate, gold_n, strict_tp, strict_fp, relax_tp, relax_fp,
+    strict_precision/recall/f1, relax_precision/recall/f1).
+    """
+    gold = _spans(tokens, "gold_label").withColumnRenamed("starts_b", "g_starts_b")
+    pred = _spans(tokens, "pred_label").withColumnRenamed("starts_b", "p_starts_b")
+
+    g = gold.select(
+        "url", "sent_id", "cate",
+        F.col("tok_s").alias("g_s"), F.col("tok_e").alias("g_e"), "g_starts_b",
+    )
+    p = pred.select(
+        "url", "sent_id", "cate",
+        F.col("tok_s").alias("p_s"), F.col("tok_e").alias("p_e"), "p_starts_b",
+    )
+
+    # J4 strict: exact boundary + cate equality, both sides begin with b-
+    strict = (
+        p.join(
+            g,
+            (p.url == g.url) & (p.sent_id == g.sent_id) & (p.cate == g.cate)
+            & (p.p_s == g.g_s) & (p.p_e == g.g_e)
+            & p.p_starts_b & g.g_starts_b,
+            "left_semi",
+        )
+        .withColumn("outcome", F.lit("strict"))
+    )
+
+    non_strict = p.join(
+        g,
+        (p.url == g.url) & (p.sent_id == g.sent_id) & (p.cate == g.cate)
+        & (p.p_s == g.g_s) & (p.p_e == g.g_e)
+        & p.p_starts_b & g.g_starts_b,
+        "left_anti",
+    )
+
+    # J5/J6: for non-strict preds, first TOUCHING gold (credit target) and
+    # whether any gold TRULY overlaps (relax match).
+    joined = non_strict.alias("p").join(
+        g.alias("g"),
+        F.expr(
+            "p.url = g.url AND p.sent_id = g.sent_id AND p.cate = g.cate "
+            "AND g.g_e >= p.p_s AND g.g_s <= p.p_e"  # touching counts (reference quirk)
+        ),
+        "left",
+    )
+    per_pred = (
+        joined.groupBy("p.url", "p.sent_id", "p.cate", "p.p_s", "p.p_e")
+        .agg(
+            F.max(
+                (F.col("g.g_s") < F.col("p.p_e")) & (F.col("p.p_s") < F.col("g.g_e"))
+            ).alias("relax_match"),
+            F.min_by(F.struct("g.g_s", "g.g_e"), F.struct("g.g_s", "g.g_e")).alias("credit_gold"),
+        )
+    )
+    per_pred = per_pred.withColumn(
+        "relax_match", F.coalesce(F.col("relax_match"), F.lit(False))
+    )
+    misses = per_pred.filter(~F.col("relax_match")).withColumn("outcome", F.lit("miss"))
+    # only relax-matching preds compete for a gold's single credit
+    # (a miss never consults the credit table in the reference)
+    w_credit = Window.partitionBy("url", "sent_id", "cate", "credit_gold").orderBy("p_s", "p_e")
+    relaxed = per_pred.filter(F.col("relax_match")).withColumn(
+        "outcome",
+        F.when(F.row_number().over(w_credit) == 1, F.lit("relax")).otherwise(F.lit("skip")),
+    )
+
+    outcomes = (
+        strict.select("cate", "outcome")
+        .unionByName(relaxed.select("cate", "outcome"))
+        .unionByName(misses.select("cate", "outcome"))
+    )
+    pred_counts = outcomes.groupBy("cate").agg(
+        F.sum((F.col("outcome") == "strict").cast("long")).alias("strict_tp"),
+        F.sum(F.col("outcome").isin("relax", "miss").cast("long")).alias("strict_fp"),
+        F.sum(F.col("outcome").isin("strict", "relax").cast("long")).alias("relax_tp"),
+        F.sum((F.col("outcome") == "miss").cast("long")).alias("relax_fp"),
+    )
+    gold_counts = g.groupBy("cate").agg(F.count("*").alias("gold_n"))
+
+    per_cat = gold_counts.join(pred_counts, "cate", "full_outer").na.fill(0)
+    rolled = (
+        per_cat.withColumn("cate", F.lit("overall"))
+        .groupBy("cate")
+        .agg(*[F.sum(c).alias(c) for c in ("gold_n", "strict_tp", "strict_fp", "relax_tp", "relax_fp")])
+    )
+    counts = per_cat.unionByName(rolled)
+    return add_prf(counts)
+
+
+def add_prf(counts: DataFrame, beta: float = 1.0) -> DataFrame:
+    """A4: P/R/F-beta column expressions (bio_prf_eval.py:105-115)."""
+    b2 = F.lit(beta * beta)
+    out = counts
+    for mode in ("strict", "relax"):
+        tp, fp = F.col(f"{mode}_tp"), F.col(f"{mode}_fp")
+        pre = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+        rec = F.when(F.col("gold_n") > 0, tp / F.col("gold_n")).otherwise(F.lit(0.0))
+        out = (
+            out.withColumn(f"{mode}_precision", pre)
+            .withColumn(f"{mode}_recall", rec)
+            .withColumn(
+                f"{mode}_f1",
+                F.when(
+                    (F.col(f"{mode}_precision") + F.col(f"{mode}_recall")) > 0,
+                    (1 + b2)
+                    * F.col(f"{mode}_precision")
+                    * F.col(f"{mode}_recall")
+                    / (b2 * F.col(f"{mode}_precision") + F.col(f"{mode}_recall")),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+    return out
+
+
+def token_accuracy(tokens: DataFrame) -> DataFrame:
+    """A1: token-level label accuracy."""
+    return tokens.agg(
+        F.avg((F.lower("gold_label") == F.lower("pred_label")).cast("double")).alias("acc"),
+        F.count("*").alias("n_tokens"),
+    )

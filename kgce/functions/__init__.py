@@ -19,15 +19,17 @@ def is_entity_label(label: Column) -> Column:
 def rule_type(token: Column) -> Column:
     """Deterministic mock-tagger type for a token (oracle.rule_tag_token).
 
-    Capitalized alphabetic tokens only; first-letter buckets:
-    A-F per, G-M loc, N-S org, T-Z misc.  Kept SQL-expressible so the
-    DuckDB oracle can reproduce it exactly.
+    Entity iff capitalized-alphabetic OR in the fixed lexicon; lowercased
+    first-letter buckets: a-f per, g-m loc, n-s org, t-z misc.  Kept
+    SQL-expressible so the DuckDB oracle can reproduce it exactly.
     """
-    first = F.substring(token, 1, 1)
+    from ..oracle import RULE_LEXICON
+
+    first = F.lower(F.substring(token, 1, 1))
     return F.when(
-        token.rlike("^[A-Z][a-zA-Z]*$"),
-        F.when(first <= "F", "per")
-        .when(first <= "M", "loc")
-        .when(first <= "S", "org")
+        token.rlike("^[A-Z][a-zA-Z]*$") | token.isin(*sorted(RULE_LEXICON)),
+        F.when(first <= "f", "per")
+        .when(first <= "m", "loc")
+        .when(first <= "s", "org")
         .otherwise("misc"),
     )

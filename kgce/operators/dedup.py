@@ -1,0 +1,212 @@
+"""Document deduplication for training-data pipelines.
+
+Four families, each a DataFrame->DataFrame operator over a
+``documents(doc_id, text, ...)`` table:
+
+* exact        — hash-groupBy on a content digest (md5 so the DuckDB
+                 oracle can reproduce it bit-for-bit),
+* n-gram Jaccard — exploded word-shingle equi-join; pairs above a
+                 Jaccard threshold.  One shuffle on shingle, one on pair.
+* MinHash+LSH  — shingle -> K minhashes -> B band buckets -> bucket join;
+                 the scale path: candidate generation never compares all
+                 pairs.  Hash = md5(seed || shingle) (lexicographic min),
+                 chosen over xxhash64 ONLY because both engines implement
+                 md5 identically — swap to xxhash64 on a real cluster.
+* SimHash      — 64-bit weighted-majority fingerprint; near-dups differ
+                 in few bits.  Bitwise ops are JVM-side; no SQL oracle
+                 (verified against a pure-Python oracle in pytest).
+
+Embedding-cosine near-dup lives in kgce.operators.ann (same machinery as
+similarity search).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_doc(col) -> "F.Column":
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct content digest: keeper id + duplicate count."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(normalize_doc(F.col(text_col))).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def word_shingles(col, n: int = 3) -> "F.Column":
+    """Distinct word n-grams (space-joined) of a text column."""
+    words = F.split(normalize_doc(col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold via shingle inverted index.
+
+    Distributed shape: explode shingles (narrow), self-join on shingle
+    (one shuffle; stop-shingle skew handled by AQE), count common shingles
+    per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return common.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "a", "b", "jaccard"
+    )
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band_id, bucket) rows; near-dups share a bucket in >=1 band.
+
+    Minhash_i = lexicographic min of md5(i || ':' || shingle) — identical
+    in Spark and DuckDB, so the whole LSH pipeline is oracle-checkable.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    rows = num_hashes // bands
+
+    def _mh(i: int):
+        # closure, NOT a defaulted lambda param (that binds the array index)
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+
+    sig = [_mh(i) for i in range(num_hashes)]
+    signed = shingled.select("doc_id", *sig)
+    bucket_rows = []
+    for band in range(bands):
+        cols = [F.col(f"mh{band * rows + j}") for j in range(rows)]
+        bucket_rows.append(
+            signed.select(
+                "doc_id",
+                F.lit(band).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    out = bucket_rows[0]
+    for r in bucket_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
+    """Candidate near-dup pairs from shared LSH buckets (a < b)."""
+    bb = minhash_band_buckets(docs, **kw)
+    a = bb.select(F.col("doc_id").alias("a"), "band_id", "bucket")
+    b = bb.select(F.col("doc_id").alias("b"), "band_id", "bucket")
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over words: bit j = majority sign of hash-bit j.
+
+    All bitwise math stays in JVM codegen: per word, xxhash64 supplies the
+    64 bits; per bit, +1/-1 votes are summed via an aggregate over a
+    64-slot array.
+    """
+    words = F.split(normalize_doc(F.col(text_col)), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # vote vector per word, built with the bit index unrolled at plan time
+    # (shiftright needs a literal bit count); one aggregate pass over words
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for j in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    docs = docs.withColumn("_votes", votes)
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        bit = (1 << j) if j < 63 else -(1 << 63)  # sign bit as signed long
+        fp = fp.bitwiseOR(
+            F.when(F.element_at("_votes", j + 1) > 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit bands (any equal band),
+    verify Hamming distance <= max_hamming.  Standard 4-band trick: dups
+    within 3 bits MUST agree on at least one of 4 disjoint 16-bit bands.
+    """
+    sh = simhash(docs)
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+        .bitwiseAND(F.lit((1 << band_bits) - 1))
+        .alias(f"band{i}")
+        for i in range(64 // band_bits)
+    ]
+    banded = sh.select("doc_id", "simhash", *[b for b in bands])
+    stacked = None
+    for i in range(64 // band_bits):
+        part = banded.select(
+            "doc_id", "simhash", F.lit(i).alias("band_id"), F.col(f"band{i}").alias("band_val")
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a = stacked.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"), "band_id", "band_val"
+    )
+    b = stacked.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"), "band_id", "band_val"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

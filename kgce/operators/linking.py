@@ -1,0 +1,201 @@
+"""Entity linking & canonicalization (J10 + A10, BASELINE.json:6).
+
+1. normalize mention surface forms,
+2. MinHash signatures over character-3-gram shingles — deterministic
+   ``xxhash64(shingle, seed_i)`` per hash function, all JVM-side column
+   expressions (no UDF),
+3. LSH banding: pairs sharing any band bucket are candidates (the
+   blocked similarity join — one shuffle on band key; AQE skew-join
+   handles hot buckets like single-token surface forms),
+4. verify candidates with exact Jaccard on shingle sets
+   (array_intersect/array_union — still JVM-side),
+5. connected components over the verified similarity edges via the
+   alternating large-star/small-star algorithm (Kiveris et al., "Connected
+   Components in MapReduce and Beyond", SOCC'14) — O(log n) rounds,
+   each round checkpointed to cut lineage,
+6. canonical entity id = the component representative (min entity key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 4 bands x 3 rows
+
+
+def normalize_text(col) -> "F.Column":
+    """Deterministic surface-form normalization (lower + squeeze non-alnum)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "))
+
+
+def _shingle_expr(colname: str, n: int = 3) -> "F.Column":
+    padded = f"concat(' ', {colname}, ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({padded}) - {n - 1}, 1)), "
+        f"i -> substring({padded}, i, {n})))"
+    )
+
+
+def entity_vocab(mentions: DataFrame) -> DataFrame:
+    """Distinct surface forms with a stable entity key.
+
+    Linking runs over the VOCABULARY of normalized surface forms (distinct
+    strings), not over mention instances — at 10^12 pages the vocabulary
+    is orders of magnitude smaller than the mention table, and instances
+    join back to canonical ids by surface form at the end.
+    """
+    return (
+        mentions.select(normalize_text(F.col("text")).alias("norm"))
+        .filter(F.length("norm") > 0)
+        .distinct()
+        .withColumn("entity_key", F.xxhash64("norm"))
+    )
+
+
+def minhash_signatures(vocab: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    def _mh(i: int):
+        # closure (not a defaulted lambda param: that would bind the array
+        # index) — hash family = xxhash64(shingle, seed=i)
+        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i))))
+
+    sig = F.array(*[_mh(i) for i in range(num_hashes)])
+    return (
+        vocab.withColumn("shingles", _shingle_expr("norm"))
+        .withColumn("signature", sig)
+    )
+
+
+def candidate_pairs_lsh(
+    signed: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Pairs of entity keys sharing >=1 LSH band bucket (a < b)."""
+    rows = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.xxhash64(F.slice("signature", i * rows + 1, rows).cast("string"), F.lit(1000 + i))
+            for i in range(bands)
+        ]
+    )
+    banded = signed.select(
+        "entity_key", "norm", "shingles", F.explode(band_cols).alias("band")
+    )
+    a = banded.select(
+        F.col("band"),
+        F.col("entity_key").alias("a"),
+        F.col("norm").alias("norm_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("band"),
+        F.col("entity_key").alias("b"),
+        F.col("norm").alias("norm_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "norm_a", "norm_b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def verified_edges(cands: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact Jaccard verification of LSH candidates (no false positives)."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cands.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """A10: alternating large-star/small-star until fixpoint.
+
+    Input: undirected edges (a, b) over long node ids.
+    Output: (node, component) with component = min node id in component.
+    Each iteration is two groupBy/shuffle rounds; localCheckpoint cuts the
+    exponentially-growing lineage (the reference analog is its epoch-loop
+    checkpointing, task.py:135-151).
+    """
+    # undirected edge set, canonical (small, large) orientation
+    e = (
+        edges.select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(und: DataFrame) -> DataFrame:
+        return und.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            und.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    for _ in range(max_iter):
+        sym = _sym(e)
+        # large-star: every undirected edge is seen once from its SMALLER
+        # endpoint u (neighbor v > u); v re-attaches to m(u) = min(N(u) ∪ u)
+        mins = (
+            sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        e1 = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+        # small-star: every undirected edge seen once from its LARGER
+        # endpoint u (neighbors v <= u); u and all of them attach to the min
+        oriented = _sym(e1).filter(F.col("v") < F.col("u"))
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            oriented.join(mins2, "u")
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .union(mins2.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut iterative lineage
+        )
+        converged = (
+            e2.count() == e.count()
+            and e2.exceptAll(e).limit(1).count() == 0
+        )
+        e = e2
+        if converged:
+            break
+
+    # fixpoint = forest of stars: every edge is (root, member)
+    comp = e.groupBy(F.col("hi").alias("node")).agg(F.min("lo").alias("component"))
+    roots = e.select(F.col("lo").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.unionByName(roots.join(comp, "node", "left_anti"))
+
+
+def canonicalize(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Full linking pass: mentions -> (norm, entity_key, canonical_id).
+
+    Surface forms that never matched anything keep their own key.
+    """
+    vocab = entity_vocab(mentions)
+    signed = minhash_signatures(vocab)
+    edges = verified_edges(candidate_pairs_lsh(signed), threshold)
+    comps = connected_components(edges)
+    return (
+        vocab.join(comps, vocab.entity_key == comps.node, "left")
+        .select(
+            "norm",
+            "entity_key",
+            F.coalesce(F.col("component"), F.col("entity_key")).alias("canonical_id"),
+        )
+    )

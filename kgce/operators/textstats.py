@@ -1,0 +1,109 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.  All pure column
+expressions (JVM codegen, SQL-oracle-checkable); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_doc, word_shingles
+
+# tiny stopword inventories for the n-gram/stopword language heuristic;
+# deliberately short + fixed so the DuckDB oracle can inline them
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+}
+
+
+def _words(text_col) -> "F.Column":
+    return F.split(normalize_doc(text_col), " ")
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (regex pieces)."""
+    words = _words(F.col(text_col))
+    # BPE-ish: alpha runs split every 4 chars, digits and punctuation single
+    pieces = F.expr(
+        f"size(regexp_extract_all(lower({text_col}), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\\\s]', 0))"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_words"),
+        pieces.alias("n_subwords"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1].
+
+    Features mirror standard crawl-filtering recipes: length band,
+    punctuation density, stopword ratio, mean word length.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    sw = STOPWORDS["en"]
+    sw_hits = F.size(F.filter(words, lambda w: w.isin(*sw)))
+    mean_wlen = F.when(n_words > 0, (F.length(F.array_join(words, ""))) / n_words).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, sw_hits / n_words).otherwise(0.0)
+    len_ok = (n_words >= 10) & (n_words <= 5000)
+    wlen_ok = (mean_wlen >= 2.5) & (mean_wlen <= 12.0)
+    score = (
+        len_ok.cast("double") * 0.4
+        + wlen_ok.cast("double") * 0.2
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.1
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break (en>de>fr)."""
+    words = _words(F.col(text_col))
+
+    def _hits(sw: list[str]):
+        # NB: single-arg lambda on purpose — a second (even defaulted)
+        # parameter makes PySpark pass the array INDEX into it
+        return F.size(F.filter(words, lambda w: w.isin(*sw)))
+
+    hits = {lang: _hits(sw) for lang, sw in STOPWORDS.items()}
+    best = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        F.when(hits["en"] + hits["de"] + hits["fr"] == 0, "unknown").otherwise(best).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: min digest over word 5-grams
+    (robust to local edits, unlike whole-document md5)."""
+    sh = word_shingles(F.col(text_col), n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_doc(F.col(text_col))).alias("exact_digest"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("winnow_fp"),
+    )

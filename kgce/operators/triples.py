@@ -1,0 +1,88 @@
+"""Triple extraction: mention-pair self-join -> scored (subj, pred, obj).
+
+J9 (SURVEY.md §2.3): sentence-scoped self-join
+``m1 ⋈ m2 ON url, sent_id AND m1.mention_id < m2.mention_id`` — the theta
+half of the condition rides on the page-wide mention numbering, which is
+ordered by (start, end), so subj is always the left-most mention of the
+pair (the reference's brat numbering order, output_format_converter.py:212).
+
+Scale notes:
+* the equi-keys (url, sent_id) make this ONE shuffle; AQE skew-join
+  splitting (enabled in kgce.session) breaks up hot sentences/pages.
+* pages from hot domains can be pre-spread with
+  ``kgce.plans.skew.salted_repartition`` before mention extraction so no
+  single task owns a whole domain.
+* predicate + confidence are pure column expressions (JVM codegen,
+  SQL-expressible for the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def candidate_pairs(mentions: DataFrame, max_pair_distance: int | None = None) -> DataFrame:
+    """Sentence-co-occurring mention pairs (subj = left-most)."""
+    m1 = mentions.select(
+        "url",
+        "sent_id",
+        F.col("mention_id").alias("subj_mid"),
+        F.col("text").alias("subj_text"),
+        F.col("type").alias("subj_type"),
+        F.col("start").alias("subj_start"),
+        F.col("end").alias("subj_end"),
+    )
+    m2 = mentions.select(
+        "url",
+        "sent_id",
+        F.col("mention_id").alias("obj_mid"),
+        F.col("text").alias("obj_text"),
+        F.col("type").alias("obj_type"),
+        F.col("start").alias("obj_start"),
+        F.col("end").alias("obj_end"),
+    )
+    pairs = m1.join(m2, on=["url", "sent_id"]).filter(F.col("subj_mid") < F.col("obj_mid"))
+    if max_pair_distance is not None:
+        pairs = pairs.filter((F.col("obj_start") - F.col("subj_end")) <= max_pair_distance)
+    return pairs
+
+
+def score_pairs(pairs: DataFrame) -> DataFrame:
+    """Attach predicate label + deterministic confidence.
+
+    predicate = ``rel:<subj_type>_<obj_type>`` (type-pair heuristic,
+    SURVEY.md §7.6); confidence decays with character gap between the
+    mentions — exact arithmetic so the DuckDB oracle reproduces it.
+    """
+    gap = (F.col("obj_start") - F.col("subj_end")).cast("double")
+    return pairs.select(
+        "url",
+        "sent_id",
+        "subj_text",
+        "subj_type",
+        F.concat(F.lit("rel:"), F.col("subj_type"), F.lit("_"), F.col("obj_type")).alias("pred"),
+        "obj_text",
+        "obj_type",
+        (F.lit(1.0) / (F.lit(1.0) + F.greatest(gap, F.lit(0.0)) / F.lit(100.0))).alias("confidence"),
+    )
+
+
+def aggregate_triples(scored: DataFrame) -> DataFrame:
+    """A11: dedup/score — one row per (subj_text, pred, obj_text).
+
+    Partial (map-side) aggregation applies automatically; evidence kept as
+    a count + max confidence rather than a collect_set of URLs so the
+    state per key is O(1) at 10^12-page scale (exact URL evidence lists
+    are a sink-side join when needed).
+    """
+    return scored.groupBy("subj_text", "pred", "obj_text").agg(
+        F.count("*").alias("n_evidence"),
+        F.max("confidence").alias("confidence"),
+        F.first("subj_type").alias("subj_type"),
+        F.first("obj_type").alias("obj_type"),
+    )
+
+
+def extract_triples(mentions: DataFrame, max_pair_distance: int | None = None) -> DataFrame:
+    return aggregate_triples(score_pairs(candidate_pairs(mentions, max_pair_distance)))

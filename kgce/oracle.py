@@ -299,23 +299,30 @@ def tokenize(text: str, base: int = 0) -> list[tuple[str, int, int]]:
 
 _CAP = re.compile(r"^[A-Z][a-zA-Z]*$")
 
+# fixed lowercase lexicon so the tagger also fires on all-lowercase
+# corpora (e.g. the driver's synthetic `documents` table); disjoint from
+# kgce.synth's filler vocabulary by construction
+RULE_LEXICON = frozenset(
+    ["customer", "data", "join", "key", "merge", "query", "spark", "table", "vector", "window"]
+)
+
 
 def rule_tag_token(token: str) -> str | None:
     """Entity type for a single token, or None.
 
-    Capitalized alphabetic tokens are entity tokens; the type is a
-    deterministic function of the first letter so both the DuckDB oracle
-    SQL and the Spark pipeline can express it:
-        A-F -> per, G-M -> loc, N-S -> org, T-Z -> misc
+    Entity tokens: capitalized alphabetic tokens OR members of
+    RULE_LEXICON.  The type is a deterministic function of the lowercased
+    first letter so both the DuckDB oracle SQL and the Spark pipeline can
+    express it:  a-f -> per, g-m -> loc, n-s -> org, t-z -> misc.
     """
-    if not _CAP.match(token):
+    if not (_CAP.match(token) or token in RULE_LEXICON):
         return None
-    c = token[0]
-    if c <= "F":
+    c = token[0].lower()
+    if c <= "f":
         return "per"
-    if c <= "M":
+    if c <= "m":
         return "loc"
-    if c <= "S":
+    if c <= "s":
         return "org"
     return "misc"
 

@@ -1,0 +1,114 @@
+"""End-to-end KG-construction pipeline (the north_star dataflow):
+
+pages ──mapInPandas──> mentions ──self-join──> scored pairs ──agg──> triples
+                   └──> entity vocab ──MinHash-LSH──> edges ──CC──> canonical ids
+triples ⋈ canonical ids ──> (subj_id, pred, obj_id, ...) ──> nodes/edges tables
+
+Stage boundaries are exactly the checkpoint boundaries: run via
+``run_checkpointed`` each stage's output lands under the work dir with a
+per-bucket manifest, so a killed run resumes mid-stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import tagging
+from .operators import linking
+from .operators import triples as triples_ops
+from .plans import materialize
+from .plans.lineage import StageRunner
+
+
+def canonical_triples(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Aggregated triples with canonical entity ids attached."""
+    trips = triples_ops.extract_triples(mentions)
+    canon = linking.canonicalize(mentions, threshold=threshold)
+    canon_map = canon.select("norm", "canonical_id")
+    subj = canon_map.withColumnRenamed("norm", "_subj_norm").withColumnRenamed(
+        "canonical_id", "subj_id"
+    )
+    obj = canon_map.withColumnRenamed("norm", "_obj_norm").withColumnRenamed(
+        "canonical_id", "obj_id"
+    )
+    trips = (
+        trips.withColumn("_subj_norm", linking.normalize_text(F.col("subj_text")))
+        .withColumn("_obj_norm", linking.normalize_text(F.col("obj_text")))
+        .join(F.broadcast(subj), "_subj_norm", "left")
+        .join(F.broadcast(obj), "_obj_norm", "left")
+        .drop("_subj_norm", "_obj_norm")
+    )
+    # a vocabulary is bounded (≪ mention count) but can still exceed the
+    # broadcast threshold at full scale; Spark falls back to shuffle join
+    # automatically when the hint loses to autoBroadcastJoinThreshold.
+    return trips.select(
+        "subj_id",
+        "pred",
+        "obj_id",
+        "subj_text",
+        "obj_text",
+        "confidence",
+        "n_evidence",
+        "subj_type",
+        "obj_type",
+    )
+
+
+def run(pages: DataFrame, link_threshold: float = 0.6) -> dict[str, DataFrame]:
+    """Uncheckpointed single-job run (tests, small corpora)."""
+    mentions = tagging.extract_mentions(pages)
+    trips = canonical_triples(mentions, threshold=link_threshold)
+    canon = linking.canonicalize(mentions, threshold=link_threshold)
+    return {
+        "mentions": mentions,
+        "triples": trips,
+        "nodes": materialize.build_nodes(canon, mentions),
+        "edges": materialize.build_edges(trips),
+    }
+
+
+def run_checkpointed(
+    pages: DataFrame,
+    work_dir: str,
+    n_buckets: int = 8,
+    link_threshold: float = 0.6,
+) -> dict[str, DataFrame]:
+    """Resumable run: mention extraction and triple aggregation land under
+    ``work_dir`` with per-bucket manifests (kill/re-run safe)."""
+    spark = pages.sparkSession
+    runner = StageRunner(spark, work_dir, n_buckets=n_buckets)
+
+    mentions = runner.run("mentions", pages, tagging.extract_mentions, key="url")
+    scored = runner.run(
+        "scored_pairs",
+        mentions,
+        lambda m: triples_ops.score_pairs(triples_ops.candidate_pairs(m)),
+        key="url",
+    )
+    # aggregation + linking are global (cross-bucket) stages; their inputs
+    # are the checkpointed outputs above, so a crash here re-reads parquet,
+    # not the raw corpus.
+    trips = triples_ops.aggregate_triples(scored)
+    canon = linking.canonicalize(mentions, threshold=link_threshold)
+    canon_map = canon.select("norm", "canonical_id")
+    trips = (
+        trips.withColumn("_sn", linking.normalize_text(F.col("subj_text")))
+        .withColumn("_on", linking.normalize_text(F.col("obj_text")))
+        .join(
+            F.broadcast(canon_map.withColumnRenamed("norm", "_sn").withColumnRenamed("canonical_id", "subj_id")),
+            "_sn",
+            "left",
+        )
+        .join(
+            F.broadcast(canon_map.withColumnRenamed("norm", "_on").withColumnRenamed("canonical_id", "obj_id")),
+            "_on",
+            "left",
+        )
+        .drop("_sn", "_on")
+    )
+    nodes = materialize.build_nodes(canon, mentions)
+    edges = materialize.build_edges(trips)
+    materialize.write_nodes(nodes, work_dir)
+    materialize.write_edges(edges, work_dir)
+    return {"mentions": mentions, "triples": trips, "nodes": nodes, "edges": edges}

@@ -1,0 +1,169 @@
+"""Dedup + text-analysis operators over a documents-shaped table."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kgce.operators import ann, dedup, multimodal, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs)
+    n_docs = docs.count()
+    agg = groups.agg(F.sum("n_docs").alias("s"), F.count("*").alias("g")).collect()[0]
+    assert agg.s == n_docs
+    assert agg.g <= n_docs
+    # keeper is the min doc_id of its group (verify on one group via duckdb)
+    want = duckdb.sql(
+        f"""select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) d,
+                   min(doc_id) k, count(*) n
+            from '{SF}/documents.parquet' group by 1 order by 1"""
+    ).fetchall()
+    got = sorted((r.digest, r.keeper_id, r.n_docs) for r in groups.collect())
+    assert got == [tuple(w) for w in want]
+
+
+def test_ngram_jaccard_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different content about database systems and queries"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0].jaccard < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "word%d " * 30
+    rows = [(i, (base % tuple(range(30)))) for i in range(5)]
+    rows += [(10, "the quick brown fox jumps over the lazy dog and runs far away home tonight")]
+    rows += [(11, "the quick brown fox jumps over the lazy dog and runs far away home tonite")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert (10, 11) in cands
+    # the 5 identical docs must all pair up
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert (i, j) in cands
+
+
+def test_simhash_near_pairs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappab"),  # 1 word changed
+        (3, "totally unrelated words about spark duckdb parquet arrow pandas"),
+        (4, "Alpha  beta gamma delta epsilon zeta eta theta iota kappa"),  # same after norm
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    # near-dup is closer in hamming space than an unrelated doc
+    ham12 = bin((sh[1] ^ sh[2]) & (2**64 - 1)).count("1")
+    ham13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    assert ham12 < ham13
+    assert sh[1] == sh[4]  # normalization-identical docs collide exactly
+    # banded join finds hamming<=3 pairs (the 4x16-bit pigeonhole guarantee)
+    pairs = {(r.a, r.b) for r in dedup.simhash_near_pairs(df, max_hamming=3).collect()}
+    assert (1, 4) in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_matches_python_oracle(spark):
+    import ctypes
+
+    def xxhash64_spark(spark, w):
+        return spark.sql(f"select xxhash64('{w}') h").collect()[0].h
+
+    text = "alpha beta gamma alpha"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = dedup.simhash(df).collect()[0].simhash
+    words = text.split()
+    hs = [xxhash64_spark(spark, w) for w in words]
+    votes = [0] * 64
+    for h in hs:
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    fp = 0
+    for j in range(64):
+        if votes[j] > 0:
+            fp |= 1 << j
+    assert got == ctypes.c_int64(fp).value
+
+
+def test_textstats_and_langid(spark, docs):
+    tc = textstats.token_counts(docs)
+    row = tc.orderBy("doc_id").first()
+    assert row.n_words > 0 and row.n_subwords >= row.n_words
+    qs = textstats.quality_scores(docs)
+    assert qs.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
+    langs = textstats.language_id(
+        spark.createDataFrame(
+            [
+                (1, "the cat and the dog sat in the house with the mouse"),
+                (2, "der hund und die katze sind nicht mit dem haus"),
+                (3, "le chat et la souris sont dans la maison pour une nuit"),
+            ],
+            "doc_id long, text string",
+        )
+    ).collect()
+    assert {r.doc_id: r.lang_pred for r in langs} == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_fingerprints_robust_to_local_edit(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten eleven twelve"),
+            (2, "one two three four five six seven eight nine ten eleven twelv"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: (r.exact_digest, r.winnow_fp) for r in textstats.fingerprints(df).collect()}
+    assert fp[1][0] != fp[2][0]  # exact digest differs
+    assert fp[1][1] == fp[2][1]  # winnow fingerprint survives a tail edit
+
+
+def test_cosine_topk_matches_duckdb(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    got = [(r.vec_id, r.cosine) for r in ann.cosine_topk(emb, qvec, k=5).collect()]
+    want = duckdb.sql(
+        f"""with q as (select embedding e from '{SF}/embeddings.parquet' where vec_id=0)
+            select vec_id, round(list_cosine_similarity(embedding, (select e from q)), 6) c
+            from '{SF}/embeddings.parquet'
+            order by c desc, vec_id limit 5"""
+    ).fetchall()
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-4
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 7).collect()[0].embedding
+    exact = {r.vec_id for r in ann.cosine_topk(emb, qvec, k=10).collect()}
+    approx = {r.vec_id for r in ann.cosine_topk_lsh(emb, qvec, k=10, n_planes=6).collect()}
+    assert len(exact & approx) >= 5  # multi-probe recall >= 0.5 on sf0.001
+    assert 7 in approx  # the query vector itself is always found
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(multimodal.gen_media(30), schema=multimodal.MEDIA)
+    feats = multimodal.extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 16 for r in rows)
+    # deterministic across runs
+    again = multimodal.extract_features(media, dim=16).collect()
+    assert sorted((r.media_id, tuple(r.feature)) for r in rows) == sorted(
+        (r.media_id, tuple(r.feature)) for r in again
+    )
+    frames = multimodal.frame_sample_plan(media, every_n=10)
+    vid = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 10 for r in vid)  # 100 frames / every 10

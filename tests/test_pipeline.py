@@ -1,0 +1,41 @@
+"""End-to-end pipeline: pages -> triples -> canonical ids -> nodes/edges,
+plus the checkpointed variant writing real outputs."""
+
+from pyspark.sql import functions as F
+
+from kgce import pipeline, schemas, synth
+
+
+def _pages(spark, n=50, seed=23):
+    return spark.createDataFrame(synth.gen_pages(n, seed=seed), schema=schemas.PAGES)
+
+
+def test_pipeline_run_shapes(spark):
+    out = pipeline.run(_pages(spark))
+    trips = out["triples"]
+    rows = trips.collect()
+    assert len(rows) > 50
+    # every triple got canonical ids (vocabulary covers all surface forms)
+    assert all(r.subj_id is not None and r.obj_id is not None for r in rows)
+    nodes = out["nodes"].collect()
+    node_ids = {r.canonical_id for r in nodes}
+    assert {r.subj_id for r in rows} <= node_ids
+    assert {r.obj_id for r in rows} <= node_ids
+    # canonicalization merged case/near variants: node count <= surface forms
+    n_forms = out["mentions"].select(F.lower("text")).distinct().count()
+    assert len(nodes) <= n_forms
+
+
+def test_pipeline_checkpointed_writes_graph(spark, tmp_path):
+    wd = str(tmp_path / "work")
+    out = pipeline.run_checkpointed(_pages(spark, 30, seed=5), wd, n_buckets=4)
+    assert out["triples"].count() > 0
+    nodes = spark.read.parquet(f"{wd}/nodes")
+    edges = spark.read.parquet(f"{wd}/edges")
+    assert nodes.count() > 0 and edges.count() > 0
+    assert "canonical_id" in nodes.columns and "subj_id" in edges.columns
+    # manifests exist for both checkpointed stages
+    m = spark.read.parquet(f"{wd}/mentions/_manifest")
+    assert m.filter(F.col("status") == "done").count() == 4
+    m2 = spark.read.parquet(f"{wd}/scored_pairs/_manifest")
+    assert m2.filter(F.col("status") == "done").count() == 4

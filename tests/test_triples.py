@@ -1,0 +1,45 @@
+"""Triple extraction parity vs the oracle (the P/R >= 0.95 gate,
+BASELINE.json:6,14 — exact match expected since the tagger is shared)."""
+
+from collections import defaultdict
+
+from kgce import oracle, schemas, synth, tagging
+from kgce.operators import triples as triples_ops
+
+
+def test_triples_parity_and_gate(spark):
+    pages = synth.gen_pages(80, seed=21)
+    df = spark.createDataFrame(pages, schema=schemas.PAGES)
+    mentions = tagging.extract_mentions(df)
+    scored = triples_ops.score_pairs(triples_ops.candidate_pairs(mentions))
+
+    got = defaultdict(int)
+    for r in scored.collect():
+        got[(r.url, r.sent_id, r.subj_text, r.pred, r.obj_text)] += 1
+
+    want = defaultdict(int)
+    for p in pages:
+        for t in oracle.page_triples(p["text"]):
+            want[(p["url"], t["sent_id"], t["subj_text"], t["pred"], t["obj_text"])] += 1
+
+    tp = sum(min(got[k], want[k]) for k in set(got) | set(want))
+    n_got, n_want = sum(got.values()), sum(want.values())
+    precision = tp / n_got
+    recall = tp / n_want
+    assert n_want > 200
+    assert precision >= 0.95 and recall >= 0.95  # the BASELINE gate
+    assert precision == 1.0 and recall == 1.0  # shared tagger => exact
+
+
+def test_aggregate_triples(spark):
+    pages = synth.gen_pages(40, seed=3)
+    df = spark.createDataFrame(pages, schema=schemas.PAGES)
+    trips = triples_ops.extract_triples(tagging.extract_mentions(df))
+    rows = trips.collect()
+    assert all(r.n_evidence >= 1 and 0 < r.confidence <= 1.0 for r in rows)
+    # aggregation key is unique
+    keys = [(r.subj_text, r.pred, r.obj_text) for r in rows]
+    assert len(keys) == len(set(keys))
+    # evidence counts add up to the pair count
+    scored = triples_ops.score_pairs(triples_ops.candidate_pairs(tagging.extract_mentions(df)))
+    assert sum(r.n_evidence for r in rows) == scored.count()
