@@ -1,0 +1,97 @@
+"""BIO scan/sink round-trips and brat/BioC sink semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgce import schemas, synth, tagging
+from kgce.sources import bio as bio_src
+from kgce.sources import sinks
+
+
+def test_read_bio_parses_reference_format(spark, tmp_path):
+    content = (
+        "Alice 0 5 0 5 B-per\n"
+        "met 6 9 6 9 O\n"
+        "Bob 10 13 10 13 B-per\n"
+        "\n"
+        "malformed-line-no-label\n"
+        "Geneva 14 20 14 20 B-loc\n"
+    )
+    f = tmp_path / "doc1.txt"
+    f.write_text(content)
+    df = bio_src.read_bio(spark, str(f))
+    rows = sorted(df.collect(), key=lambda r: r.sent_id)
+    assert rows[0].tokens == ["Alice", "met", "Bob"]
+    assert rows[0].labels == ["B-per", "O", "B-per"]
+    assert rows[0].offsets[0].s == 0 and rows[0].offsets[0].e == 5
+    # malformed line skipped, valid line in same block kept
+    assert rows[1].tokens == ["Geneva"]
+    # test mode forces O
+    dft = bio_src.read_bio(spark, str(f), test_mode=True)
+    assert all(set(r.labels) == {"O"} for r in dft.collect())
+
+
+def test_bio_write_read_round_trip(spark, tmp_path):
+    pages = spark.createDataFrame(synth.gen_pages(10, seed=3), schema=schemas.PAGES)
+    tagged = tagging.tag_sentences(tagging.extract_sentences(pages))
+    out = str(tmp_path / "bio_out")
+    bio_src.write_bio(tagged, out)
+    back = bio_src.read_bio(spark, out + "/*.txt")
+    # token/label multiset must survive the round trip
+    orig = tagged.select(F.explode(F.arrays_zip("tokens", "labels")).alias("z")).select(
+        F.col("z.tokens").alias("t"), F.col("z.labels").alias("l")
+    )
+    rt = back.select(F.explode(F.arrays_zip("tokens", "labels")).alias("z")).select(
+        F.col("z.tokens").alias("t"), F.col("z.labels").alias("l")
+    )
+    assert sorted(map(tuple, orig.collect())) == sorted(map(tuple, rt.collect()))
+
+
+def test_brat_sink_format_and_numbering(spark):
+    pages = spark.createDataFrame(
+        [("u1", None, None, "Alice met Bob here. Geneva\nCalls today.", "en")],
+        schema=schemas.PAGES,
+    )
+    mentions = tagging.extract_mentions(pages)
+    raw = sinks.mentions_with_raw_text(mentions, pages)
+    lines = {r.line for r in sinks.brat_lines(raw).collect()}
+    assert "T1\tper 0 5\tAlice" in lines
+    assert "T2\tper 10 13\tBob" in lines
+    # 'Geneva\nCalls' is one run ending in a raw span containing \n ->
+    # discontinuous offsets + space-replaced text (reference quirk)
+    assert any(l.startswith("T3\tloc 20 26;27 32\tGeneva Calls") for l in lines)
+
+
+def test_bioc_sink(spark):
+    pages = spark.createDataFrame(
+        [("u1", None, None, "Alice met Bob.", "en")], schema=schemas.PAGES
+    )
+    mentions = tagging.extract_mentions(pages)
+    raw = sinks.mentions_with_raw_text(mentions, pages)
+    xml = sinks.bioc_documents(raw).collect()[0].xml
+    assert xml.startswith('<?xml version="1.0"')
+    assert '<annotation id="1"><text>Alice</text>' in xml
+    assert '<location length="5" offset="0"/>' in xml
+    assert xml.endswith("</document></collection>")
+
+
+def test_merge_brat_outputs_dedups(spark):
+    m = spark.createDataFrame(
+        [("u", 0, 1, "Alice", 0, 5, "per")],
+        "url string, sent_id long, mention_id long, text string, start int, end int, type string",
+    )
+    merged = sinks.merge_brat_outputs(m, m)
+    assert merged.count() == 1
+
+
+def test_read_biaffine_json(spark, tmp_path):
+    f = tmp_path / "train.json"
+    f.write_text(
+        '{"tokens": ["Alice", "met"], "entities": [{"text": "Alice", "type": "per", "span": [0, 1]}]}\n'
+    )
+    df = bio_src.read_biaffine_json(spark, str(f))
+    r = df.collect()[0]
+    assert r.tokens == ["Alice", "met"]
+    assert r.entities[0].type == "per" and r.entities[0].span == [0, 1]
+    types = df.select(F.explode("entities.type")).distinct().collect()
+    assert [t[0] for t in types] == ["per"]
