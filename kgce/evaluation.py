@@ -157,3 +157,95 @@ def token_accuracy(tokens: DataFrame) -> DataFrame:
         F.avg((F.lower("gold_label") == F.lower("pred_label")).cast("double")).alias("acc"),
         F.count("*").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# J7 + A6: brat-level (document-keyed, mention-level) evaluation
+# --------------------------------------------------------------------------
+
+
+def evaluate_mentions(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """Document-level strict/lenient span eval with micro AND macro P/R/F.
+
+    Relational re-expression of brat_eval.py (SingleEvaluator :211-301,
+    MultipleEvaluator.track2 :304-367): strict = exact (doc, type, start,
+    end) equality; lenient = same-type interval overlap with one credit
+    per gold span (each gold matches at most one prediction, dedup
+    :233-245).  micro = global TP/FP/FN sums; macro = mean of per-doc
+    P/R/F — Spark's two-level partial+final aggregation does both in one
+    pass over the match table.
+
+    Inputs: mention DataFrames (url, start, end, type).
+    Output: (level, scope, tp, fp, fn, precision, recall, f1) where
+    level ∈ {strict, lenient}, scope ∈ {micro, macro}.
+    """
+    g = gold.select("url", F.col("start").alias("g_s"), F.col("end").alias("g_e"), "type")
+    p = pred.select("url", F.col("start").alias("p_s"), F.col("end").alias("p_e"), "type")
+
+    strict_hit = p.join(
+        g,
+        (p.url == g.url) & (p.type == g.type) & (p.p_s == g.g_s) & (p.p_e == g.g_e),
+        "left_semi",
+    )
+
+    # lenient: overlap join, then one credit per gold and per pred
+    ov = p.alias("p").join(
+        g.alias("g"),
+        F.expr("p.url = g.url AND p.type = g.type AND g.g_s < p.p_e AND p.p_s < g.g_e"),
+    )
+    w_pred = Window.partitionBy("p.url", "p.type", "p.p_s", "p.p_e").orderBy("g.g_s", "g.g_e")
+    best_gold = ov.withColumn("rn", F.row_number().over(w_pred)).filter("rn = 1")
+    w_gold = Window.partitionBy("url", "type", "g_s", "g_e").orderBy("p_s", "p_e")
+    lenient_hit = (
+        best_gold.select("p.url", "p.type", "p.p_s", "p.p_e", "g.g_s", "g.g_e")
+        .withColumn("rn", F.row_number().over(w_gold))
+        .filter("rn = 1")
+        .select("url", "type", F.col("p_s"), F.col("p_e"))
+    )
+
+    def _counts(hits: DataFrame) -> DataFrame:
+        per_doc_p = p.groupBy("url").agg(F.count("*").alias("n_pred"))
+        per_doc_g = g.groupBy("url").agg(F.count("*").alias("n_gold"))
+        per_doc_tp = hits.groupBy("url").agg(F.count("*").alias("tp"))
+        return (
+            per_doc_g.join(per_doc_p, "url", "full_outer")
+            .join(per_doc_tp, "url", "full_outer")
+            .na.fill(0)
+            .withColumn("fp", F.col("n_pred") - F.col("tp"))
+            .withColumn("fn", F.col("n_gold") - F.col("tp"))
+        )
+
+    out = []
+    for level, hits in (("strict", strict_hit.select("url", "type", "p_s", "p_e")), ("lenient", lenient_hit)):
+        per_doc = _counts(hits)
+        prf = per_doc.select(
+            "url", "tp", "fp", "fn",
+            F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0).alias("pre"),
+            F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0).alias("rec"),
+        ).withColumn(
+            "f1",
+            F.when((F.col("pre") + F.col("rec")) > 0, 2 * F.col("pre") * F.col("rec") / (F.col("pre") + F.col("rec"))).otherwise(0.0),
+        )
+        micro = prf.agg(
+            F.lit(level).alias("level"), F.lit("micro").alias("scope"),
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn"),
+        ).withColumn(
+            "precision", F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+        ).withColumn(
+            "recall", F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+        ).withColumn(
+            "f1",
+            F.when((F.col("precision") + F.col("recall")) > 0,
+                   2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall"))).otherwise(0.0),
+        )
+        macro = prf.agg(
+            F.lit(level).alias("level"), F.lit("macro").alias("scope"),
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn"),
+            F.avg("pre").alias("precision"), F.avg("rec").alias("recall"), F.avg("f1").alias("f1"),
+        )
+        out.append(micro.select("level", "scope", "tp", "fp", "fn", "precision", "recall", "f1"))
+        out.append(macro.select("level", "scope", "tp", "fp", "fn", "precision", "recall", "f1"))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

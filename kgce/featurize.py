@@ -195,3 +195,36 @@ def _idx2label_expr(idx2label: dict[int, str], id_col) -> "F.Column":
             continue
         expr = F.when(id_col == i, F.lit(lab)).otherwise(expr)
     return expr
+
+
+# --------------------------------------------------------------------------
+# S6: label2idx JSON artifact + T1: unseen-label check
+# --------------------------------------------------------------------------
+
+
+def save_label2idx(label2idx: dict[str, int], path: str) -> None:
+    """Persist the label vocabulary exactly like the reference does
+    (task.py:261 writes label2idx.json next to the model)."""
+    import json
+    from pathlib import Path
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(json.dumps(label2idx, sort_keys=True, indent=1))
+
+
+def load_label2idx(path: str) -> dict[str, int]:
+    """Reload (run_transformer_batch_prediction.py:32-36); the dict rides
+    into executors inside UDF closures — no broadcast object needed."""
+    import json
+    from pathlib import Path
+
+    return json.loads(Path(path).read_text())
+
+
+def unseen_labels(train_sents: "DataFrame", dev_sents: "DataFrame") -> "DataFrame":
+    """T1 (data_utils.py:99-101): labels present in dev but not in train —
+    the reference logs a warning; we return them as a DataFrame so the
+    caller decides (empty => compatible)."""
+    t = train_sents.select(F.explode("labels").alias("label")).distinct()
+    d = dev_sents.select(F.explode("labels").alias("label")).distinct()
+    return d.exceptAll(t)

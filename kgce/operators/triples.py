@@ -48,6 +48,50 @@ def candidate_pairs(mentions: DataFrame, max_pair_distance: int | None = None) -
     return pairs
 
 
+def candidate_pairs_grouped(mentions: DataFrame) -> DataFrame:
+    """Same output as candidate_pairs, via groupBy+explode instead of a
+    self-join.
+
+    Why: the mentions DataFrame is produced by an expensive Python UDF; a
+    self-join evaluates that UDF subtree TWICE (the pre-join projections
+    defeat exchange reuse).  Grouping per sentence shuffles the UDF
+    output once and generates the O(k²) pairs JVM-side with array
+    combinators.  Hot sentences still skew a task, but the work per
+    sentence is identical to the join's — minus a full second UDF pass.
+    """
+    ms = F.array_sort(
+        F.collect_list(
+            F.struct("mention_id", "text", "type", "start", "end")
+        )
+    )
+    per_sent = mentions.groupBy("url", "sent_id").agg(ms.alias("ms"))
+    # pairs[i] = struct(a=ms[i], b) for every b after i — (x, i) indexed
+    # lambda is intentional here (the second param IS the array index)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return per_sent.select("url", "sent_id", F.explode(pair_arr).alias("p")).select(
+        "url",
+        "sent_id",
+        F.col("p.a.mention_id").alias("subj_mid"),
+        F.col("p.a.text").alias("subj_text"),
+        F.col("p.a.type").alias("subj_type"),
+        F.col("p.a.start").alias("subj_start"),
+        F.col("p.a.end").alias("subj_end"),
+        F.col("p.b.mention_id").alias("obj_mid"),
+        F.col("p.b.text").alias("obj_text"),
+        F.col("p.b.type").alias("obj_type"),
+        F.col("p.b.start").alias("obj_start"),
+        F.col("p.b.end").alias("obj_end"),
+    )
+
+
 def score_pairs(pairs: DataFrame) -> DataFrame:
     """Attach predicate label + deterministic confidence.
 
@@ -85,4 +129,6 @@ def aggregate_triples(scored: DataFrame) -> DataFrame:
 
 
 def extract_triples(mentions: DataFrame, max_pair_distance: int | None = None) -> DataFrame:
-    return aggregate_triples(score_pairs(candidate_pairs(mentions, max_pair_distance)))
+    if max_pair_distance is not None:
+        return aggregate_triples(score_pairs(candidate_pairs(mentions, max_pair_distance)))
+    return aggregate_triples(score_pairs(candidate_pairs_grouped(mentions)))

@@ -97,3 +97,16 @@ class StageRunner:
     def manifest(self, stage: str) -> DataFrame:
         _, _, mdir = self._paths(stage)
         return self.spark.read.parquet(str(mdir))
+
+
+def keep_latest_n(manifest_df: DataFrame, n: int, order_col: str = "wall_ms") -> DataFrame:
+    """K5/W6 retention pattern (reference checkpoint GC, task.py:146-151):
+    newest N by a monotonic column; the complement is the GC set."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(order_col))
+    return (
+        manifest_df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

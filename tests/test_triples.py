@@ -43,3 +43,14 @@ def test_aggregate_triples(spark):
     # evidence counts add up to the pair count
     scored = triples_ops.score_pairs(triples_ops.candidate_pairs(tagging.extract_mentions(df)))
     assert sum(r.n_evidence for r in rows) == scored.count()
+
+
+def test_grouped_pairs_equal_join_pairs(spark):
+    pages = synth.gen_pages(40, seed=9)
+    df = spark.createDataFrame(pages, schema=schemas.PAGES)
+    mentions = tagging.extract_mentions(df).cache()
+    cols = ["url", "sent_id", "subj_mid", "subj_text", "subj_type", "subj_start",
+            "subj_end", "obj_mid", "obj_text", "obj_type", "obj_start", "obj_end"]
+    joined = triples_ops.candidate_pairs(mentions).select(cols)
+    grouped = triples_ops.candidate_pairs_grouped(mentions).select(cols)
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, grouped.collect()))
