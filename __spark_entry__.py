@@ -44,8 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
     )
-    mentions = tagging.extract_mentions(pages)
-    return triples_ops.extract_triples(mentions)
+    return triples_ops.extract_triples_fused(pages)
 
 
 # --------------------------------------------------------------------------
@@ -289,13 +288,11 @@ def q_cosine_topk(spark, sf):
 
 
 def q_pipeline_triples(spark, sf):
-    from kgce import tagging
-
     docs = _t(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"), "text"
     )
-    return triples_ops.extract_triples(tagging.extract_mentions(pages))
+    return triples_ops.extract_triples_fused(pages)
 
 
 def q_connected_components(spark, sf):

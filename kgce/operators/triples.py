@@ -132,3 +132,49 @@ def extract_triples(mentions: DataFrame, max_pair_distance: int | None = None) -
     if max_pair_distance is not None:
         return aggregate_triples(score_pairs(candidate_pairs(mentions, max_pair_distance)))
     return aggregate_triples(score_pairs(candidate_pairs_grouped(mentions)))
+
+
+def extract_triples_fused(pages: DataFrame, tagger: str = "rule") -> DataFrame:
+    """pages -> aggregated triples with ONE narrow UDF stage and ONE small
+    shuffle (the partial-aggregated groupBy over
+    (subj_text, pred, obj_text)).  The deployment-shape flagship: at
+    10^12 pages every other formulation shuffles mention-sized data;
+    this one shuffles only per-partition triple partials.
+    """
+    from .. import tagging
+
+    return aggregate_triples(tagging.extract_pairs_fused(pages, tagger))
+
+
+def pairs_from_sentence_mentions(sent_mentions: DataFrame) -> DataFrame:
+    """JVM-side O(k²) pair generation from per-sentence mention arrays:
+    double posexplode + index filter — whole-stage-codegen'd Generate,
+    no shuffle, no Python.  Output schema == candidate_pairs_grouped
+    minus mention ids (the array order IS the id order)."""
+    e1 = sent_mentions.select(
+        "url", "sent_id", "ms", F.posexplode("ms").alias("i", "a")
+    )
+    e2 = e1.select(
+        "url", "sent_id", "i", "a", F.posexplode("ms").alias("j", "b")
+    ).filter(F.col("j") > F.col("i"))
+    return e2.select(
+        "url",
+        "sent_id",
+        F.col("a.text").alias("subj_text"),
+        F.col("a.type").alias("subj_type"),
+        F.col("a.start").alias("subj_start"),
+        F.col("a.end").alias("subj_end"),
+        F.col("b.text").alias("obj_text"),
+        F.col("b.type").alias("obj_type"),
+        F.col("b.start").alias("obj_start"),
+        F.col("b.end").alias("obj_end"),
+    )
+
+
+def extract_triples_hybrid(pages: DataFrame, tagger: str = "rule") -> DataFrame:
+    """pages -> triples: Python tags, JVM pairs, partial-agg shuffle only."""
+    from .. import tagging
+
+    return aggregate_triples(
+        score_pairs(pairs_from_sentence_mentions(tagging.extract_sentence_mentions(pages, tagger)))
+    )

@@ -64,9 +64,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # small Arrow batches bound the in-flight row volume of fan-out
+        # UDFs (1 page -> ~350 pair rows): 1024 measured ~2x faster than
+        # 4096 at 32 cores by cutting JVM GC pressure
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("KGCE_DRIVER_MEM", "16g"))
+        # local mode: driver heap IS the cluster memory; undersizing it
+        # turns high-concurrency UDF stages GC-bound (measured 5x slowdown
+        # at 16g with 32 concurrent Arrow streams)
+        .config("spark.driver.memory", os.environ.get("KGCE_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

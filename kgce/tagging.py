@@ -153,3 +153,107 @@ def extract_mentions(pages: DataFrame, tagger: str = "rule") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return pages.select("url", "text").mapInPandas(mention_batches, schema=schemas.MENTIONS)
+
+
+# --------------------------------------------------------------------------
+# pages -> scored mention pairs, fully fused (the 100-TB path)
+# --------------------------------------------------------------------------
+
+PAIRS_SCHEMA = (
+    "url string, sent_id long, subj_text string, subj_type string, "
+    "pred string, obj_text string, obj_type string, confidence double"
+)
+
+
+def extract_pairs_fused(pages: DataFrame, tagger: str = "rule") -> DataFrame:
+    """Sentence-co-occurring mention pairs in the SAME narrow stage as
+    mention detection — no shuffle between the page scan and the triple
+    aggregation's partial (map-side) agg.
+
+    Pair semantics are identical to operators.triples.candidate_pairs +
+    score_pairs (property-tested); use those relational forms when the
+    mentions table is already materialized — use this fused form when
+    pages stream straight through, which is the 10^12-page deployment
+    shape: the only wide shuffle left in the whole triple pipeline is the
+    final groupBy over (subj, pred, obj) partials.
+    """
+
+    def pair_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag_fn = get_tagger(tagger)
+        for pdf in it:
+            rows = {k: [] for k in ("url", "sent_id", "subj_text", "subj_type",
+                                    "pred", "obj_text", "obj_type", "confidence")}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if text is None:
+                    continue
+                for sid, (s, e) in enumerate(oracle.split_sentences(text)):
+                    toks = oracle.tokenize(text[s:e], base=s)
+                    if not toks:
+                        continue
+                    words = [t[0] for t in toks]
+                    offs = [(t[1], t[2]) for t in toks]
+                    labels = oracle.fix_bio(tag_fn(words))
+                    ms = sorted(
+                        oracle.decode_spans_converter(words, offs, labels),
+                        key=lambda sp: (sp.char_s, sp.char_e),
+                    )
+                    for i in range(len(ms)):
+                        for j in range(i + 1, len(ms)):
+                            a, b = ms[i], ms[j]
+                            gap = max(b.char_s - a.char_e, 0)
+                            rows["url"].append(url)
+                            rows["sent_id"].append(sid)
+                            rows["subj_text"].append(a.text)
+                            rows["subj_type"].append(a.etype)
+                            rows["pred"].append(f"rel:{a.etype}_{b.etype}")
+                            rows["obj_text"].append(b.text)
+                            rows["obj_type"].append(b.etype)
+                            rows["confidence"].append(1.0 / (1.0 + gap / 100.0))
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "text").mapInPandas(pair_batches, schema=PAIRS_SCHEMA)
+
+
+SENT_MENTIONS_SCHEMA = (
+    "url string, sent_id long, "
+    "ms array<struct<text:string, type:string, start:int, end:int>>"
+)
+
+
+def extract_sentence_mentions(pages: DataFrame, tagger: str = "rule") -> DataFrame:
+    """One row per sentence with its mention ARRAY (ordered by start).
+
+    The hybrid split of work for the 100-TB path: Python does only the
+    linguistic part (split/tag/decode); downstream pair combinatorics run
+    JVM-side (see operators.triples.pairs_from_sentence_mentions) — no
+    shuffle, no Python in the O(k²) loop.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag_fn = get_tagger(tagger)
+        for pdf in it:
+            rows = {"url": [], "sent_id": [], "ms": []}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if text is None:
+                    continue
+                for sid, (s, e) in enumerate(oracle.split_sentences(text)):
+                    toks = oracle.tokenize(text[s:e], base=s)
+                    if not toks:
+                        continue
+                    words = [t[0] for t in toks]
+                    offs = [(t[1], t[2]) for t in toks]
+                    labels = oracle.fix_bio(tag_fn(words))
+                    ms = sorted(
+                        (
+                            (sp.text, sp.etype, sp.char_s, sp.char_e)
+                            for sp in oracle.decode_spans_converter(words, offs, labels)
+                        ),
+                        key=lambda m: (m[2], m[3]),
+                    )
+                    if ms:
+                        rows["url"].append(url)
+                        rows["sent_id"].append(sid)
+                        rows["ms"].append(ms)
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "text").mapInPandas(batches, schema=SENT_MENTIONS_SCHEMA)

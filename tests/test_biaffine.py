@@ -1,0 +1,59 @@
+"""Biaffine path: W4 decode parity with the BIO path, J3 offset join,
+J8 set-based eval; plus skew-handling behavior (plans.skew)."""
+
+from pyspark.sql import functions as F
+
+from kgce import schemas, synth, tagging
+from kgce.operators import biaffine
+from kgce.plans import skew
+
+
+def test_biaffine_decode_matches_bio_path(spark):
+    pages = spark.createDataFrame(synth.gen_pages(30, seed=61), schema=schemas.PAGES)
+    sents = tagging.extract_sentences(pages).cache()
+    spans = biaffine.decode_biaffine_spans(sents)
+    mentions = biaffine.spans_to_mentions(spans, sents)
+    got = {
+        (r.url, r.sent_id, r.text, r.start, r.end, r.type) for r in mentions.collect()
+    }
+    want = {
+        (r.url, r.sent_id, r.text, r.start, r.end, r.type)
+        for r in tagging.extract_mentions(pages).collect()
+    }
+    assert got == want  # the two heads decode identical mentions
+
+
+def test_biaffine_eval_set_semantics(spark):
+    sch = "url string, sent_id long, type string, tok_s int, tok_e int"
+    gold = spark.createDataFrame(
+        [("d", 0, "per", 0, 2), ("d", 0, "loc", 3, 4), ("d", 1, "per", 0, 1)], sch
+    )
+    pred = spark.createDataFrame(
+        [("d", 0, "per", 0, 2), ("d", 0, "loc", 3, 5), ("d", 2, "org", 0, 1)], sch
+    )
+    m = biaffine.evaluate_biaffine(gold, pred)
+    assert m == {"tp": 1, "fp": 2, "fn": 2}
+
+
+def test_salted_repartition_spreads_hot_domain(spark):
+    # one domain owns 90% of pages; after salting its rows span many
+    # partitions instead of hashing into one
+    rows = [(f"https://hot.example/p{i}", None, None, "x", "en") for i in range(900)]
+    rows += [(f"https://cold{i}.example/p", None, None, "x", "en") for i in range(100)]
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    plain = pages.repartition(16, skew.domain_of(F.col("url")))
+    salted = skew.salted_repartition(pages, skew.domain_of(F.col("url")), n_salt=16, n_partitions=16)
+
+    def spread(df):
+        return (
+            df.filter(F.col("url").startswith("https://hot"))
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+
+    assert spread(plain) == 1  # all hot pages hash to one partition
+    assert spread(salted) >= 8  # salt spreads them
+
+    hot = skew.hot_keys(pages, skew.domain_of(F.col("url")), top_n=1).collect()
+    assert hot[0].key == "hot.example" and hot[0].n == 900

@@ -54,3 +54,14 @@ def test_grouped_pairs_equal_join_pairs(spark):
     joined = triples_ops.candidate_pairs(mentions).select(cols)
     grouped = triples_ops.candidate_pairs_grouped(mentions).select(cols)
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, grouped.collect()))
+
+
+def test_fused_pairs_equal_relational(spark):
+    pages = synth.gen_pages(40, seed=13)
+    df = spark.createDataFrame(pages, schema=schemas.PAGES)
+    cols = ["url", "sent_id", "subj_text", "subj_type", "pred", "obj_text", "obj_type", "confidence"]
+    fused = tagging.extract_pairs_fused(df).select(cols)
+    rel = triples_ops.score_pairs(
+        triples_ops.candidate_pairs_grouped(tagging.extract_mentions(df))
+    ).select(cols)
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, rel.collect()))
