@@ -120,11 +120,17 @@ def aggregate_triples(scored: DataFrame) -> DataFrame:
     state per key is O(1) at 10^12-page scale (exact URL evidence lists
     are a sink-side join when needed).
     """
-    return scored.groupBy("subj_text", "pred", "obj_text").agg(
+    agg = scored.groupBy("subj_text", "pred", "obj_text").agg(
         F.count("*").alias("n_evidence"),
         F.max("confidence").alias("confidence"),
-        F.first("subj_type").alias("subj_type"),
-        F.first("obj_type").alias("obj_type"),
+    )
+    # types are recovered from the predicate (pred = rel:<subj>_<obj>)
+    # instead of first(<string>) aggregates: string agg buffers would
+    # force SortAggregate — a full sort of every pair row before the
+    # partial agg.  count/max(double) keep it a HashAggregate.
+    body = F.substring_index(F.col("pred"), ":", -1)
+    return agg.withColumn("subj_type", F.substring_index(body, "_", 1)).withColumn(
+        "obj_type", F.substring_index(body, "_", -1)
     )
 
 
