@@ -96,44 +96,52 @@ def minhash_band_buckets(
     Minhash_i = lexicographic min of md5(i || ':' || shingle) — identical
     in Spark and DuckDB, so the whole LSH pipeline is oracle-checkable.
     """
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    # explode shingles ONCE, then 8 min-aggregates in a single groupBy —
+    # the projection-inlined alternative re-evaluates the (expensive)
+    # shingle expression once per hash function and once per band branch
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
     rows = num_hashes // bands
-
-    def _mh(i: int):
-        # closure, NOT a defaulted lambda param (that binds the array index)
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-
-    sig = [_mh(i) for i in range(num_hashes)]
-    signed = shingled.select("doc_id", *sig)
-    bucket_rows = []
-    for band in range(bands):
-        cols = [F.col(f"mh{band * rows + j}") for j in range(rows)]
-        bucket_rows.append(
-            signed.select(
-                "doc_id",
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # all bands in one select + explode (no union of recomputed branches)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{band * rows + j}") for j in range(rows)])
+                ).alias("bucket"),
             )
-        )
-    out = bucket_rows[0]
-    for r in bucket_rows[1:]:
-        out = out.unionByName(r)
-    return out
+            for band in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
-    """Candidate near-dup pairs from shared LSH buckets (a < b)."""
+    """Candidate near-dup pairs from shared LSH buckets (a < b).
+
+    Self-join with aliasing AFTER the join condition so both sides share
+    an identical plan up to the exchange — Spark reuses the shuffle
+    (ReusedExchange) instead of recomputing the MinHash pipeline twice.
+    """
     bb = minhash_band_buckets(docs, **kw)
-    a = bb.select(F.col("doc_id").alias("a"), "band_id", "bucket")
-    b = bb.select(F.col("doc_id").alias("b"), "band_id", "bucket")
+    x, y = bb.alias("x"), bb.alias("y")
     return (
-        a.join(b, ["band_id", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        x.join(
+            y,
+            F.expr("x.band_id = y.band_id AND x.bucket = y.bucket AND x.doc_id < y.doc_id"),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
 
