@@ -26,7 +26,22 @@ from kgce.operators import triples as triples_ops
 from kgce.operators.ruletag import mentions_sql
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship the kgce package zip to the caller's session so executors can
+    unpickle our UDF closures regardless of the driver's launch cwd."""
+    key = id(spark.sparkContext)
+    if key not in _SHIPPED:
+        from kgce.session import _ship_package
+
+        _ship_package(spark)
+        _SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pkg(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
