@@ -73,10 +73,23 @@ def run_checkpointed(
     work_dir: str,
     n_buckets: int = 8,
     link_threshold: float = 0.6,
+    salt_hot_domains: bool = True,
+    n_salt: int = 16,
 ) -> dict[str, DataFrame]:
     """Resumable run: mention extraction and triple aggregation land under
-    ``work_dir`` with per-bucket manifests (kill/re-run safe)."""
+    ``work_dir`` with per-bucket manifests (kill/re-run safe).
+
+    ``salt_hot_domains`` pre-spreads Zipf-skewed crawls: pages are
+    repartitioned by (domain, xxhash64(url) % n_salt) before the UDF
+    stages so no task owns a whole hot domain (BASELINE.json:6,14).  The
+    salt is a pure function of the url — deterministic across re-runs,
+    so bucket manifests stay valid.
+    """
+    from .plans.skew import domain_of, salted_repartition
+
     spark = pages.sparkSession
+    if salt_hot_domains:
+        pages = salted_repartition(pages, domain_of(F.col("url")), n_salt=n_salt)
     runner = StageRunner(spark, work_dir, n_buckets=n_buckets)
 
     mentions = runner.run("mentions", pages, tagging.extract_mentions, key="url")
