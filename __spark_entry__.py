@@ -256,6 +256,21 @@ def q_running_order_total(spark, sf):
     )
 
 
+def q_sliding_revenue(spark, sf):
+    """RANGE frame: per customer, revenue of the trailing 30 days."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("trailing_30d"),
+    )
+
+
 def q_exact_dedup(spark, sf):
     return dedup.exact_dedup_groups(_t(spark, sf, "documents"))
 
@@ -352,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_pairs": q_overlap_pairs,
         "union_dedup": q_union_dedup,
         "running_order_total": q_running_order_total,
+        "sliding_revenue": q_sliding_revenue,
         # training-data pipeline ops
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -535,6 +551,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS UNBOUNDED PRECEDING), 4) AS running_total
+            FROM orders
+        """,
+        "sliding_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY epoch(o_orderdate)
+                         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 4)
+                     AS trailing_30d
             FROM orders
         """,
         "exact_dedup": f"""
