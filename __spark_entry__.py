@@ -325,6 +325,40 @@ def q_pipeline_triples(spark, sf):
     return triples_ops.extract_triples_fused(pages)
 
 
+def q_bio_eval_full(spark, sf):
+    """The complete reference eval (strict/relax/one-credit, A3 rollup,
+    A4 P/R/F) as one Spark query — rows-only here because the one-credit
+    walk is not ANSI-SQL-expressible; exactness is proven in pytest
+    against the reference-verified oracle (test_evaluation)."""
+    from kgce import evaluation
+    from kgce.operators.ruletag import tokens_with_pos
+    from kgce.functions import rule_type
+
+    docs = _t(spark, sf, "documents")
+    toks = tokens_with_pos(docs).withColumnRenamed("doc_id", "url")
+    ent = rule_type(F.col("tok"))
+    w = Window.partitionBy("url").orderBy("pos")
+    prev = F.lag(ent).over(w)
+    bio = F.when(ent.isNull(), "O").when(prev.isNull(), F.concat(F.lit("B-"), ent)).otherwise(
+        F.concat(F.lit("I-"), ent)
+    )
+    # pred side: the stricter variant tagger (tokens > 4 chars)
+    ent_p = F.when(F.length("tok") > 4, ent)
+    prev_p = F.lag(ent_p).over(w)
+    bio_p = F.when(ent_p.isNull(), "O").when(prev_p.isNull(), F.concat(F.lit("B-"), ent_p)).otherwise(
+        F.concat(F.lit("I-"), ent_p)
+    )
+    labeled = toks.select(
+        "url", F.lit(0).cast("long").alias("sent_id"), "pos",
+        bio.alias("gold_label"), bio_p.alias("pred_label"),
+    )
+    return evaluation.evaluate_tokens(labeled).select(
+        "cate", "gold_n", "strict_tp", "strict_fp", "relax_tp", "relax_fp",
+        F.round("strict_f1", 6).alias("strict_f1"),
+        F.round("relax_f1", 6).alias("relax_f1"),
+    )
+
+
 def q_connected_components(spark, sf):
     edges = dedup.minhash_lsh_pairs(_t(spark, sf, "documents")).select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
@@ -378,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
         # non-SQL-expressible (rows-only)
+        "bio_eval_full": q_bio_eval_full,
         "pipeline_triples": q_pipeline_triples,
         "connected_components": q_connected_components,
         "simhash_pairs": q_simhash_pairs,
