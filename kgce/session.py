@@ -26,9 +26,13 @@ def _ship_package(spark: SparkSession) -> None:
     ``--py-files`` path in kgce/submit.py does the same thing up front).
     """
     pkg_dir = Path(__file__).resolve().parent
+    py_files = list(pkg_dir.rglob("*.py"))
+    if not py_files:
+        # imported from a zip (spark-submit --py-files already shipped us)
+        return
     # content-addressed name: code edits get a fresh archive, re-adding the
     # same content to the same context is a no-op
-    stamp = max(p.stat().st_mtime_ns for p in pkg_dir.rglob("*.py"))
+    stamp = max(p.stat().st_mtime_ns for p in py_files)
     zip_base = Path(tempfile.gettempdir()) / f"kgce_pkg_{stamp:x}"
     if not zip_base.with_suffix(".zip").exists():
         shutil.make_archive(str(zip_base), "zip", root_dir=pkg_dir.parent, base_dir="kgce")
