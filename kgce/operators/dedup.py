@@ -218,3 +218,29 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, band_bits: int = 1
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", **lsh_kw) -> DataFrame:
+    """Full near-duplicate clustering: MinHash-LSH candidate pairs ->
+    connected components -> one keeper per cluster.
+
+    Output: (doc_id, group_id, keeper) — ``keeper`` is true for the
+    min-id member of each near-dup cluster; singleton docs are their own
+    keeper.  The downstream training-data filter is
+    ``.filter("keeper")``.
+    """
+    from .linking import connected_components
+
+    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col, **lsh_kw)
+    comps = connected_components(
+        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        ids.join(comps, ids.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+        )
+        .withColumn("keeper", F.col("doc_id") == F.col("group_id"))
+    )

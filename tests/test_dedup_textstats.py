@@ -167,3 +167,17 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.frame_sample_plan(media, every_n=10)
     vid = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 10 for r in vid)  # 100 frames / every 10
+
+
+def test_near_dup_groups_end_to_end(spark):
+    rows = [(i, f"totally unique document number {i} about topic {i * 7}") for i in range(20)]
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows += [(100, base), (101, base), (102, base + "!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = {r.doc_id: (r.group_id, r.keeper) for r in dedup.near_dup_groups(df).collect()}
+    assert len(g) == 23
+    # the three near-dups share a cluster with one keeper
+    assert g[100][0] == g[101][0] == g[102][0] == 100
+    assert g[100][1] and not g[101][1] and not g[102][1]
+    # unique docs keep themselves
+    assert all(g[i] == (i, True) for i in range(20))
