@@ -318,11 +318,18 @@ def q_cosine_topk(spark, sf):
 
 
 def q_pipeline_triples(spark, sf):
+    """Full fused pipeline (sentence split -> tag -> decode -> pair -> agg),
+    graded against a DuckDB CTE replica of the whole chain.  confidence is
+    projected out: it is a function of char offsets, which SQL cannot
+    recover after regex splitting (covered instead by pytest vs the
+    Python oracle)."""
     docs = _t(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"), "text"
     )
-    return triples_ops.extract_triples_fused(pages)
+    return triples_ops.extract_triples_fused(pages).select(
+        "subj_text", "subj_type", "pred", "obj_text", "obj_type", "n_evidence"
+    )
 
 
 def q_bio_eval_full(spark, sf):
@@ -367,17 +374,21 @@ def q_connected_components(spark, sf):
 
 
 def q_simhash_pairs(spark, sf):
-    return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
+    """md5 SimHash twin (two u32 halves) — DuckDB reproduces every bit.
+    The xxhash64 production variant is pytest-verified instead."""
+    return dedup.simhash_near_pairs_md5(_t(spark, sf, "documents"), max_hamming=8)
 
 
 def q_ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
-    return ann.cosine_topk_lsh(emb, qvec, k=20)
+    return ann.cosine_topk_lsh(emb, qvec, k=20, plane_hash="md5")
 
 
 def q_embedding_near_dups(spark, sf):
-    return ann.embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.5)
+    return ann.embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.3, dim=64, plane_hash="md5"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -411,7 +422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_counts": q_langid_counts,
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
-        # non-SQL-expressible (rows-only)
+        # full-pipeline + hash/graph ops (all DuckDB-oracled except
+        # bio_eval_full, whose one-credit walk is not ANSI-SQL-expressible
+        # — that one is pytest-proven against the reference-exact oracle)
         "bio_eval_full": q_bio_eval_full,
         "pipeline_triples": q_pipeline_triples,
         "connected_components": q_connected_components,
@@ -447,8 +460,8 @@ def _minhash_cols(num_hashes: int = 8) -> str:
     )
 
 
-_BANDS_SQL = f"""
-WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+_BANDS_BODY = f"""
+sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
 sig AS (SELECT doc_id, {_minhash_cols(8)} FROM sh),
 b AS (
   SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS bucket FROM sig
@@ -456,6 +469,170 @@ b AS (
   UNION ALL SELECT doc_id, 2, md5(concat_ws('|', mh4, mh5)) FROM sig
   UNION ALL SELECT doc_id, 3, md5(concat_ws('|', mh6, mh7)) FROM sig
 )
+"""
+
+_BANDS_SQL = "WITH " + _BANDS_BODY
+
+# connected components over the LSH candidate pairs: transitive closure by
+# recursive min-label reachability (fine at oracle scale; the Spark side is
+# the O(log n) large-star/small-star loop).
+_CC_SQL = (
+    "WITH RECURSIVE "
+    + _BANDS_BODY
+    + """,
+pairs AS (
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS a, CAST(b2.doc_id AS BIGINT) AS b
+  FROM b a JOIN b b2 ON a.band_id = b2.band_id AND a.bucket = b2.bucket
+       AND a.doc_id < b2.doc_id
+),
+e AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+)
+SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+"""
+)
+
+
+def _fused_pipeline_sql() -> str:
+    """DuckDB replica of the fused triple pipeline: the Python sentence
+    splitter's lookbehind alternation ``(?<=[.!?])\\s+|\\n{2,}`` is not
+    RE2-expressible, so breaks are marked in two sequential global
+    replaces (same result: the first alternative's match always starts at
+    the punctuation-adjacent position, so ordering cannot differ)."""
+    from kgce.oracle import RULE_LEXICON
+
+    lex = ", ".join(f"'{w}'" for w in sorted(RULE_LEXICON))
+    seg = (
+        r"regexp_replace(regexp_replace(text, '([.!?])\s+', '\1'||chr(1), 'g'), "
+        r"'\n{2,}', chr(1), 'g')"
+    )
+    return f"""
+WITH pages AS (SELECT concat('doc://', doc_id) AS url, {seg} AS marked FROM documents),
+segs AS (
+  SELECT url, generate_subscripts(string_split(marked, chr(1)), 1) AS sent_id,
+         unnest(string_split(marked, chr(1))) AS seg
+  FROM pages
+),
+toks AS (
+  SELECT url, sent_id,
+         unnest(string_split_regex(seg, '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(seg, '\\s+'), 1) AS pos
+  FROM segs
+),
+typed AS (
+  SELECT url, sent_id, pos, tok,
+    CASE WHEN regexp_full_match(tok, '[A-Z][a-zA-Z]*') OR tok IN ({lex}) THEN
+      CASE WHEN lower(substr(tok,1,1)) <= 'f' THEN 'per'
+           WHEN lower(substr(tok,1,1)) <= 'm' THEN 'loc'
+           WHEN lower(substr(tok,1,1)) <= 's' THEN 'org'
+           ELSE 'misc' END
+    END AS ent
+  FROM toks WHERE tok <> ''
+),
+flagged AS (
+  SELECT *, CASE WHEN ent IS NOT NULL
+                  AND lag(ent) OVER (PARTITION BY url, sent_id ORDER BY pos) IS NULL
+                 THEN 1 ELSE 0 END AS opens
+  FROM typed
+),
+runs AS (
+  SELECT *, sum(opens) OVER (PARTITION BY url, sent_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+ments AS (
+  SELECT url, sent_id, run_id, min(pos) AS tok_s,
+         string_agg(tok, ' ' ORDER BY pos) AS mtext,
+         min_by(ent, pos) AS mtype
+  FROM runs WHERE ent IS NOT NULL GROUP BY url, sent_id, run_id
+)
+SELECT a.mtext AS subj_text, a.mtype AS subj_type,
+       concat('rel:', a.mtype, '_', b.mtype) AS pred,
+       b.mtext AS obj_text, b.mtype AS obj_type,
+       count(*) AS n_evidence
+FROM ments a JOIN ments b
+  ON a.url = b.url AND a.sent_id = b.sent_id AND a.tok_s < b.tok_s
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def _simhash_md5_sql(max_hamming: int = 8) -> str:
+    """DuckDB replica of dedup.simhash_md5 + 4x16-bit band blocking."""
+    vh = ",\n    ".join(
+        f"sum(CASE WHEN (hi >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vh{j}" for j in range(32)
+    )
+    vl = ",\n    ".join(
+        f"sum(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS vl{j}" for j in range(32)
+    )
+    fp_hi = " + ".join(f"(CASE WHEN vh{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    fp_lo = " + ".join(f"(CASE WHEN vl{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS hi,
+                 ('0x'||substr(md5(tok),9,8))::BIGINT AS lo
+  FROM w
+),
+v AS (SELECT doc_id, {vh}, {vl} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp_hi})::BIGINT AS fp_hi, ({fp_lo})::BIGINT AS fp_lo FROM v),
+bands AS (
+  SELECT doc_id, fp_hi, fp_lo, 0 AS band_id, fp_lo & 65535 AS band_val FROM fp
+  UNION ALL SELECT doc_id, fp_hi, fp_lo, 1, (fp_lo >> 16) & 65535 FROM fp
+  UNION ALL SELECT doc_id, fp_hi, fp_lo, 2, fp_hi & 65535 FROM fp
+  UNION ALL SELECT doc_id, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM fp
+)
+SELECT a, b, hamming FROM (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         (bit_count(xor(x.fp_hi, y.fp_hi)) + bit_count(xor(x.fp_lo, y.fp_lo)))::BIGINT AS hamming
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+) WHERE hamming <= {max_hamming}
+"""
+
+
+def _srp_bucket_sql(n_planes: int, dim: int) -> str:
+    """Bucket expression over ``embedding`` using the same md5-lattice
+    hyperplanes kgce.operators.ann.md5_planes inlines on the Spark side."""
+    from kgce.operators.ann import md5_planes
+
+    planes = md5_planes(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        proj = " + ".join(
+            f"embedding[{j + 1}] * ({planes[p][j]}.0)" for j in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _ann_lsh_sql(k: int = 20, n_planes: int = 6, dim: int = 64) -> str:
+    bucket = _srp_bucket_sql(n_planes, dim)
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT embedding AS e, bucket AS qb FROM bk WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
+         AS cosine
+FROM bk WHERE bit_count(xor(bucket::BIGINT, (SELECT qb FROM q)::BIGINT)) <= 1
+ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+def _near_dup_emb_sql(threshold: float = 0.5, n_planes: int = 8, dim: int = 64) -> str:
+    bucket = _srp_bucket_sql(n_planes, dim)
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT a, b, cosine FROM (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6)
+           AS cosine
+  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+) WHERE cosine >= {threshold}
 """
 
 
@@ -548,7 +725,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "user_sessions": """
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
               SELECT user_id,
                 CASE WHEN lag(ts) OVER w IS NULL
                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
@@ -557,7 +734,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY user_id
         """,
         "event_transitions": """
-            SELECT user_id, sum(chg) AS n_transitions FROM (
+            SELECT user_id, CAST(sum(chg) AS BIGINT) AS n_transitions FROM (
               SELECT user_id,
                 CASE WHEN lag(event_type) OVER w IS NOT NULL
                      AND lag(event_type) OVER w <> event_type
@@ -666,4 +843,9 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ) ORDER BY c DESC, vec_id LIMIT 20
         """,
+        "pipeline_triples": _fused_pipeline_sql(),
+        "connected_components": _CC_SQL,
+        "simhash_pairs": _simhash_md5_sql(max_hamming=8),
+        "ann_lsh_topk": _ann_lsh_sql(k=20, n_planes=6, dim=64),
+        "embedding_near_dups": _near_dup_emb_sql(threshold=0.3, n_planes=8, dim=64),
     }

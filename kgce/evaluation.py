@@ -52,25 +52,19 @@ def evaluate_tokens(tokens: DataFrame) -> DataFrame:
         F.col("tok_s").alias("p_s"), F.col("tok_e").alias("p_e"), "p_starts_b",
     )
 
-    # J4 strict: exact boundary + cate equality, both sides begin with b-
-    strict = (
-        p.join(
-            g,
-            (p.url == g.url) & (p.sent_id == g.sent_id) & (p.cate == g.cate)
-            & (p.p_s == g.g_s) & (p.p_e == g.g_e)
-            & p.p_starts_b & g.g_starts_b,
-            "left_semi",
-        )
-        .withColumn("outcome", F.lit("strict"))
+    # J4 strict: exact boundary + cate equality, both sides begin with b-.
+    # Explicit aliases + qualified refs: p and g share lineage, and bare
+    # p.url == g.url self-join predicates resolve only via dataset-id
+    # disambiguation ("trivially true equals" analyzer warning) — fragile
+    # across Spark versions, so both sides are aliased like the J5/J6 join.
+    p, g = p.alias("p"), g.alias("g")
+    strict_cond = F.expr(
+        "p.url = g.url AND p.sent_id = g.sent_id AND p.cate = g.cate "
+        "AND p.p_s = g.g_s AND p.p_e = g.g_e AND p.p_starts_b AND g.g_starts_b"
     )
+    strict = p.join(g, strict_cond, "left_semi").withColumn("outcome", F.lit("strict"))
 
-    non_strict = p.join(
-        g,
-        (p.url == g.url) & (p.sent_id == g.sent_id) & (p.cate == g.cate)
-        & (p.p_s == g.g_s) & (p.p_e == g.g_e)
-        & p.p_starts_b & g.g_starts_b,
-        "left_anti",
-    )
+    non_strict = p.join(g, strict_cond, "left_anti")
 
     # J5/J6: for non-strict preds, first TOUCHING gold (credit target) and
     # whether any gold TRULY overlaps (relax match).

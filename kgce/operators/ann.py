@@ -48,22 +48,52 @@ def cosine_topk(
     )
 
 
-def srp_bucket(vec_col, n_planes: int = 8, dim: int = 32, seed: int = 13) -> "F.Column":
+def md5_planes(n_planes: int, dim: int, seed: int = 13) -> list[list[int]]:
+    """Deterministic integer-lattice hyperplanes from md5 — reproducible
+    bit-for-bit in DuckDB (``('0x'||substr(md5(j||':'||p||':'||seed),1,8))
+    ::BIGINT % 1000001 - 500000``), which makes every SRP-LSH query
+    oracle-checkable.  Component (p, j) = md5("j:p:seed")[:8] as u32,
+    mod-folded onto [-500000, 500000]."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{j}:{p}:{seed}".encode()).hexdigest()[:8], 16) % 1000001
+            - 500000
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_bucket(
+    vec_col, n_planes: int = 8, dim: int = 32, seed: int = 13, plane_hash: str = "xx"
+) -> "F.Column":
     """Signed-random-projection bucket id (0 .. 2^n_planes - 1).
 
-    Plane p component j = (xxhash64(j, p, seed) % 1000001) - 500000 —
-    a deterministic integer lattice approximation of a Gaussian plane,
-    identical on every executor with zero broadcast.
+    Plane p component j = (hash(j, p, seed) % 1000001) - 500000 — a
+    deterministic integer lattice approximation of a Gaussian plane,
+    identical on every executor with zero broadcast.  ``plane_hash``:
+    ``xx`` evaluates xxhash64 JVM-side (production); ``md5`` inlines the
+    md5_planes literals so DuckDB can reproduce the buckets exactly.
     """
-    def _plane(p: int):
-        # closure over the plane index (a defaulted lambda param would bind
-        # the array index instead); component j = lattice pseudo-gaussian
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(F.xxhash64(j, F.lit(p), F.lit(seed)), F.lit(1000001)) - 500000
-            ).cast("double"),
-        )
+    if plane_hash == "md5":
+        lattice = md5_planes(n_planes, dim, seed)
+
+        def _plane(p: int):
+            return F.array(*[F.lit(float(v)) for v in lattice[p]])
+
+    else:
+
+        def _plane(p: int):
+            # closure over the plane index (a defaulted lambda param would
+            # bind the array index); component j = lattice pseudo-gaussian
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    F.pmod(F.xxhash64(j, F.lit(p), F.lit(seed)), F.lit(1000001)) - 500000
+                ).cast("double"),
+            )
 
     bits = []
     for p in range(n_planes):
@@ -86,6 +116,7 @@ def cosine_topk_lsh(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_hash: str = "xx",
 ) -> DataFrame:
     """SRP-bucketed top-k: scan only vectors in the query's bucket.
 
@@ -96,8 +127,12 @@ def cosine_topk_lsh(
     dim = len(query_vec)
     spark = embeddings.sparkSession
     qdf = spark.createDataFrame([(query_vec,)], f"{vec_col} array<float>")
-    qbucket = qdf.select(srp_bucket(F.col(vec_col), n_planes, dim).alias("b")).collect()[0].b
-    bucketed = embeddings.withColumn("_bucket", srp_bucket(F.col(vec_col), n_planes, dim))
+    qbucket = qdf.select(
+        srp_bucket(F.col(vec_col), n_planes, dim, plane_hash=plane_hash).alias("b")
+    ).collect()[0].b
+    bucketed = embeddings.withColumn(
+        "_bucket", srp_bucket(F.col(vec_col), n_planes, dim, plane_hash=plane_hash)
+    )
     # multi-probe: query bucket plus all single-bit flips
     probes = [qbucket] + [qbucket ^ (1 << p) for p in range(n_planes)]
     cand = bucketed.filter(F.col("_bucket").isin(probes))
@@ -108,15 +143,24 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
-    dim: int = 32,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_hash: str = "xx",
 ) -> DataFrame:
-    """Near-duplicate vector pairs: SRP block -> in-bucket pairwise verify."""
+    """Near-duplicate vector pairs: SRP block -> in-bucket pairwise verify.
+
+    ``dim`` defaults to the actual vector width (1-row probe).  Passing a
+    dim SMALLER than the vectors would null out every projection via
+    zip_with padding and collapse all vectors into bucket 0 — silently
+    turning the blocked join into an all-pairs scan.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     bucketed = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        srp_bucket(F.col(vec_col), n_planes, dim, plane_hash=plane_hash).alias("bucket"),
     )
     a = bucketed.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     b = bucketed.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")

@@ -90,11 +90,19 @@ def minhash_band_buckets(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, band_id, bucket) rows; near-dups share a bucket in >=1 band.
 
-    Minhash_i = lexicographic min of md5(i || ':' || shingle) — identical
-    in Spark and DuckDB, so the whole LSH pipeline is oracle-checkable.
+    ``hash_fn``:
+      * ``md5`` — minhash_i = lexicographic min of md5(i || ':' || shingle);
+        identical in Spark and DuckDB so the whole LSH pipeline is
+        oracle-checkable.  Cost: string aggregate buffers force
+        SortAggregate (full sort of every exploded shingle row).
+      * ``xx``  — minhash_i = min of xxhash64(shingle, seed=i); LONG
+        buffers keep the signature aggregation a HashAggregate — the
+        production path at 100 TB (no DuckDB twin; pytest-verified
+        equivalent pair recall instead).
     """
     # explode shingles ONCE, then 8 min-aggregates in a single groupBy —
     # the projection-inlined alternative re-evaluates the (expensive)
@@ -104,6 +112,27 @@ def minhash_band_buckets(
         F.explode(word_shingles(F.col(text_col), n)).alias("s"),
     )
     rows = num_hashes // bands
+    if hash_fn == "xx":
+        def _mh(i: int):
+            # closure over the hash-family index (a defaulted lambda param
+            # would silently bind the array index — CLAUDE.md pitfall)
+            return F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+
+        sig = ex.groupBy("doc_id").agg(*[_mh(i) for i in range(num_hashes)])
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    F.xxhash64(
+                        *[F.col(f"mh{band * rows + j}") for j in range(rows)]
+                    ).cast("string").alias("bucket"),
+                )
+                for band in range(bands)
+            ]
+        )
+        return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+            "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
+        )
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
@@ -130,11 +159,13 @@ def minhash_band_buckets(
 def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
     """Candidate near-dup pairs from shared LSH buckets (a < b).
 
-    Self-join with aliasing AFTER the join condition so both sides share
-    an identical plan up to the exchange — Spark reuses the shuffle
-    (ReusedExchange) instead of recomputing the MinHash pipeline twice.
+    The band-bucket table is materialized (localCheckpoint) before the
+    self-join: a broadcast build side defeats ReusedExchange, so without
+    this the whole shingle->minhash pipeline executes TWICE (verified in
+    the round-1 live plan).  Post-checkpoint the join reads the tiny
+    (doc_id, band_id, bucket) table from block storage on both sides.
     """
-    bb = minhash_band_buckets(docs, **kw)
+    bb = minhash_band_buckets(docs, **kw).localCheckpoint(eager=True)
     x, y = bb.alias("x"), bb.alias("y")
     return (
         x.join(
@@ -220,27 +251,171 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, band_bits: int = 1
     )
 
 
-def near_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", **lsh_kw) -> DataFrame:
-    """Full near-duplicate clustering: MinHash-LSH candidate pairs ->
-    connected components -> one keeper per cluster.
+def simhash_md5(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Oracle-checkable SimHash twin: 64 bits from md5, kept as TWO
+    unsigned 32-bit halves (fp_hi = md5 hex chars 1-8, fp_lo = chars 9-16)
+    so both engines avoid signed-64 overflow; DuckDB reproduces every bit
+    (``('0x'||substr(md5(w),1,8))::BIGINT`` == Spark ``conv(...,16,10)``).
 
-    Output: (doc_id, group_id, keeper) — ``keeper`` is true for the
-    min-id member of each near-dup cluster; singleton docs are their own
-    keeper.  The downstream training-data filter is
-    ``.filter("keeper")``.
+    Production path stays :func:`simhash` (xxhash64 — one hash per word
+    instead of an md5 + two string slices).
     """
+    words = F.split(normalize_doc(F.col(text_col)), " ")
+
+    def _fp(offset: int) -> "F.Column":
+        hs = F.transform(
+            words,
+            lambda w: F.conv(F.substring(F.md5(w), offset, 8), 16, 10).cast("long"),
+        )
+        votes = F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0).cast("long"), 32),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                        .otherwise(F.lit(-1))
+                        .cast("long")
+                        for j in range(32)
+                    ]
+                ),
+                lambda a, v: a + v,
+            ),
+        )
+        fp = F.lit(0).cast("long")
+        for j in range(32):
+            fp = fp + F.when(F.element_at(votes, j + 1) > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            ).cast("long")
+        return fp
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _fp(1).alias("fp_hi"), _fp(9).alias("fp_lo")
+    )
+
+
+def simhash_near_pairs_md5(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """DuckDB-checkable twin of :func:`simhash_near_pairs`: 4x16-bit band
+    blocking over the (fp_hi, fp_lo) md5 SimHash, Hamming verify."""
+    sh = simhash_md5(docs)
+    mask = (1 << 16) - 1
+    band_vals = [
+        F.col("fp_lo").bitwiseAND(F.lit(mask)),
+        F.shiftrightunsigned(F.col("fp_lo"), 16).bitwiseAND(F.lit(mask)),
+        F.col("fp_hi").bitwiseAND(F.lit(mask)),
+        F.shiftrightunsigned(F.col("fp_hi"), 16).bitwiseAND(F.lit(mask)),
+    ]
+    stacked = None
+    for i, bv in enumerate(band_vals):
+        part = sh.select(
+            "doc_id", "fp_hi", "fp_lo", F.lit(i).alias("band_id"), bv.alias("band_val")
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a = stacked.select(
+        F.col("doc_id").alias("a"), F.col("fp_hi").alias("ha"), F.col("fp_lo").alias("la"),
+        "band_id", "band_val",
+    )
+    b = stacked.select(
+        F.col("doc_id").alias("b"), F.col("fp_hi").alias("hb"), F.col("fp_lo").alias("lb"),
+        "band_id", "band_val",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def near_dup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xx",
+    threshold: float = 0.5,
+    n: int = 3,
+    **lsh_kw,
+) -> DataFrame:
+    """Full near-duplicate clustering: MinHash-LSH candidate pairs ->
+    exact-Jaccard verify -> connected components -> one keeper per
+    cluster.
+
+    The verify step matters: LSH candidates are probabilistic — without
+    it, random band collisions between unrelated docs chain clusters
+    together via the transitive closure (one false edge merges two whole
+    groups).  Verification joins the (small) candidate set back to the
+    per-doc shingle sets and keeps pairs with true Jaccard >= threshold,
+    exactly like linking.verified_edges does for entity surface forms.
+
+    Output: (doc_id, group_id, keeper) — ``keeper`` is true for exactly
+    one member of each near-dup cluster (the min-id member for integral
+    ids); singleton docs are their own keeper.  The downstream
+    training-data filter is ``.filter("keeper")``.
+
+    Non-integral ids (e.g. URL strings) are mapped to longs via xxhash64
+    for the component computation and the component root is mapped BACK
+    to its original id, so ``group_id`` always lives in id space — a
+    plain ``cast('long')`` would turn every URL into NULL and silently
+    drop the whole corpus at the keeper filter.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from .linking import connected_components
 
-    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col, **lsh_kw)
-    comps = connected_components(
-        pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    cands = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, hash_fn=hash_fn, n=n, **lsh_kw
     )
-    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    return (
-        ids.join(comps, ids.doc_id == comps.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+    sh = docs.select(
+        F.col(id_col).alias("_sid"), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    pairs = (
+        cands.join(sh.select(F.col("_sid").alias("a"), F.col("_sh").alias("_sha")), "a")
+        .join(sh.select(F.col("_sid").alias("b"), F.col("_sh").alias("_shb")), "b")
+        .filter(
+            F.size(F.array_intersect("_sha", "_shb"))
+            >= F.lit(threshold) * F.size(F.array_union("_sha", "_shb"))
         )
+        .select("a", "b")
+    )
+    integral = isinstance(
+        docs.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+    if integral:
+        comps = connected_components(
+            pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        )
+        ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        return (
+            ids.join(comps, ids.doc_id == comps.node, "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("group_id"),
+            )
+            .withColumn("keeper", F.col("doc_id") == F.col("group_id"))
+        )
+    ids = docs.select(F.col(id_col).alias("doc_id")).withColumn(
+        "node", F.xxhash64(F.col("doc_id").cast("string"))
+    )
+    comps = connected_components(
+        pairs.select(
+            F.xxhash64(F.col("a").cast("string")).alias("a"),
+            F.xxhash64(F.col("b").cast("string")).alias("b"),
+        )
+    )
+    assigned = ids.join(comps, "node", "left").select(
+        "doc_id", "node", F.coalesce("component", F.col("node")).alias("comp")
+    )
+    # the component label is the min member HASH; its row maps it back to id
+    roots = assigned.filter(F.col("node") == F.col("comp")).select(
+        "comp", F.col("doc_id").alias("group_id")
+    )
+    return (
+        assigned.join(roots, "comp", "left")
+        .select("doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id"))
         .withColumn("keeper", F.col("doc_id") == F.col("group_id"))
     )

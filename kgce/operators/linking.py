@@ -18,11 +18,22 @@
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # 4 bands x 3 rows
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Reliable checkpoint when a checkpoint dir is configured (cluster
+    mode: survives executor loss), localCheckpoint otherwise (local mode:
+    lineage cut without requiring a dir)."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def normalize_text(col) -> "F.Column":
@@ -119,18 +130,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Input: undirected edges (a, b) over long node ids.
     Output: (node, component) with component = min node id in component.
-    Each iteration is two groupBy/shuffle rounds; localCheckpoint cuts the
+    Each iteration is two groupBy/shuffle rounds; a checkpoint cuts the
     exponentially-growing lineage (the reference analog is its epoch-loop
-    checkpointing, task.py:135-151).
+    checkpointing, task.py:135-151).  With a configured checkpoint dir the
+    cut is a RELIABLE checkpoint (executor loss cannot kill the truncated
+    lineage on a real cluster); otherwise localCheckpoint.
     """
     # undirected edge set, canonical (small, large) orientation
-    e = (
+    e = _checkpoint(
         edges.select(
             F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _sym(und: DataFrame) -> DataFrame:
@@ -138,6 +150,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             und.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
 
+    converged = False
     for _ in range(max_iter):
         sym = _sym(e)
         # large-star: every undirected edge is seen once from its SMALLER
@@ -164,15 +177,23 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .union(mins2.select(F.col("m").alias("lo"), F.col("u").alias("hi")))
             .filter(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint(eager=True)  # cut iterative lineage
         )
+        e2 = _checkpoint(e2)  # cut iterative lineage
+        # ONE action per round: symmetric difference probe (both inputs
+        # are checkpointed, so each side of the union is a cheap rescan)
         converged = (
-            e2.count() == e.count()
-            and e2.exceptAll(e).limit(1).count() == 0
+            e2.exceptAll(e).unionByName(e.exceptAll(e2)).limit(1).count() == 0
         )
         e = e2
         if converged:
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds; component assignments may be incomplete",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # fixpoint = forest of stars: every edge is (root, member)
     comp = e.groupBy(F.col("hi").alias("node")).agg(F.min("lo").alias("component"))

@@ -120,17 +120,15 @@ def aggregate_triples(scored: DataFrame) -> DataFrame:
     state per key is O(1) at 10^12-page scale (exact URL evidence lists
     are a sink-side join when needed).
     """
-    agg = scored.groupBy("subj_text", "pred", "obj_text").agg(
+    # types ride along as GROUPING keys (string keys are HashAggregate-safe;
+    # only string agg BUFFERS like first/min force SortAggregate).  pred is
+    # a pure function of (subj_type, obj_type), so the extra keys do not
+    # change grouping granularity — and unlike parsing them back out of
+    # pred, this stays correct for entity types containing '_'
+    # (e.g. clinical types like 'gene_product' from a model tagger).
+    return scored.groupBy("subj_text", "pred", "obj_text", "subj_type", "obj_type").agg(
         F.count("*").alias("n_evidence"),
         F.max("confidence").alias("confidence"),
-    )
-    # types are recovered from the predicate (pred = rel:<subj>_<obj>)
-    # instead of first(<string>) aggregates: string agg buffers would
-    # force SortAggregate — a full sort of every pair row before the
-    # partial agg.  count/max(double) keep it a HashAggregate.
-    body = F.substring_index(F.col("pred"), ":", -1)
-    return agg.withColumn("subj_type", F.substring_index(body, "_", 1)).withColumn(
-        "obj_type", F.substring_index(body, "_", -1)
     )
 
 

@@ -21,10 +21,18 @@ from .plans import materialize
 from .plans.lineage import StageRunner
 
 
-def canonical_triples(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Aggregated triples with canonical entity ids attached."""
+def canonical_triples(
+    mentions: DataFrame, threshold: float = 0.6, canon: DataFrame | None = None
+) -> DataFrame:
+    """Aggregated triples with canonical entity ids attached.
+
+    Pass a precomputed ``canon`` (linking.canonicalize output) to reuse
+    one LSH + connected-components job across triples AND node building —
+    recomputing it is a whole second iterative CC job.
+    """
     trips = triples_ops.extract_triples(mentions)
-    canon = linking.canonicalize(mentions, threshold=threshold)
+    if canon is None:
+        canon = linking.canonicalize(mentions, threshold=threshold)
     canon_map = canon.select("norm", "canonical_id")
     subj = canon_map.withColumnRenamed("norm", "_subj_norm").withColumnRenamed(
         "canonical_id", "subj_id"
@@ -58,8 +66,8 @@ def canonical_triples(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
 def run(pages: DataFrame, link_threshold: float = 0.6) -> dict[str, DataFrame]:
     """Uncheckpointed single-job run (tests, small corpora)."""
     mentions = tagging.extract_mentions(pages)
-    trips = canonical_triples(mentions, threshold=link_threshold)
     canon = linking.canonicalize(mentions, threshold=link_threshold)
+    trips = canonical_triples(mentions, threshold=link_threshold, canon=canon)
     return {
         "mentions": mentions,
         "triples": trips,

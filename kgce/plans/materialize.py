@@ -45,23 +45,40 @@ def write_edges(edges: DataFrame, out_dir: str, table: str = "kg.edges") -> None
 
 
 def build_nodes(canon: DataFrame, mentions: DataFrame, n_buckets: int = 32) -> DataFrame:
-    """Node table: one row per canonical entity with mention statistics."""
+    """Node table: one row per canonical entity with mention statistics.
+
+    Shape note: the heavy pass over the mention table is a pure
+    count-groupBy with ONLY grouping keys as strings (HashAggregate with
+    map-side partials); the dominant-type pick runs afterwards over the
+    tiny distinct (norm, type) table.  ``first(<string>)`` aggregate
+    buffers here would force a SortAggregate over every mention row —
+    the round-1 perf defect this replaces.
+    """
+    from pyspark.sql import Window
+
     norm_mentions = mentions.select(
         F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")).alias("norm"),
         "type",
     )
-    stats = norm_mentions.groupBy("norm").agg(
-        F.count("*").alias("n_mentions"),
-        F.first("type").alias("type"),
+    by_type = norm_mentions.groupBy("norm", "type").agg(F.count("*").alias("n"))
+    totals = by_type.groupBy("norm").agg(F.sum("n").alias("n_mentions"))
+    w = Window.partitionBy("norm").orderBy(F.desc("n"), "type")
+    dominant = (
+        by_type.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("norm", "type")
     )
+    stats = totals.join(dominant, "norm")
     return (
         canon.join(stats, "norm", "left")
         .groupBy("canonical_id")
         .agg(
+            # collect_set makes this an ObjectHashAggregate, which carries
+            # the string-buffered min/max_by along without a sort
             F.min("norm").alias("canonical_text"),
             F.collect_set("norm").alias("aliases"),
             F.sum(F.coalesce("n_mentions", F.lit(0))).alias("n_mentions"),
-            F.first("type").alias("type"),
+            F.max_by("type", F.coalesce("n_mentions", F.lit(0))).alias("type"),
         )
         .withColumn("bucket", F.pmod(F.col("canonical_id"), F.lit(n_buckets)).cast("int"))
     )

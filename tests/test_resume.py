@@ -28,7 +28,8 @@ def test_resume_skips_completed_buckets(spark, tmp_path):
 
     runner = StageRunner(spark, str(tmp_path / "wd"), n_buckets=4)
     with pytest.raises(Boom):
-        runner.run("mentions", pages, failing_transform, key="url")
+        # wave size 1 = per-bucket checkpoint granularity
+        runner.run("mentions", pages, failing_transform, key="url", max_buckets_per_job=1)
     assert runner.completed_buckets("mentions") == {0, 1}
 
     calls2 = []
@@ -37,12 +38,14 @@ def test_resume_skips_completed_buckets(spark, tmp_path):
         calls2.append(1)
         return tagging.extract_mentions(df)
 
-    out = runner.run("mentions", pages, counting_transform, key="url")
+    out = runner.run(
+        "mentions", pages, counting_transform, key="url", max_buckets_per_job=1
+    )
     # only the 2 remaining buckets were recomputed
     assert len(calls2) == 2
     assert runner.completed_buckets("mentions") == {0, 1, 2, 3}
 
-    # identical to an uninterrupted run
+    # identical to an uninterrupted single-wave (default) run
     clean = StageRunner(spark, str(tmp_path / "wd2"), n_buckets=4).run(
         "mentions", pages, tagging.extract_mentions, key="url"
     )
@@ -73,6 +76,33 @@ def test_manifest_records_lineage(spark, tmp_path):
     m = runner.manifest("mentions").collect()
     assert {r.bucket for r in m} == {0, 1, 2}
     assert all(r.status == "done" and r.row_count >= 0 and len(r.input_hash) == 16 for r in m)
+
+
+def test_default_wave_is_single_job(spark, tmp_path):
+    """Default wave = all missing buckets in ONE transform call (one input
+    scan), while the manifest still records every bucket individually and
+    a wave-size-1 resume can pick up after it."""
+    pages = _pages(spark, 30)
+    runner = StageRunner(spark, str(tmp_path / "wd"), n_buckets=4)
+    calls = []
+
+    def counting(df):
+        calls.append(1)
+        return tagging.extract_mentions(df)
+
+    out = runner.run("mentions", pages, counting, key="url")
+    assert len(calls) == 1
+    assert runner.completed_buckets("mentions") == {0, 1, 2, 3}
+    m = {r.bucket: r for r in runner.manifest("mentions").collect()}
+    assert set(m) == {0, 1, 2, 3}
+    # per-bucket hashes/counts match a per-bucket-granularity run
+    other = StageRunner(spark, str(tmp_path / "wd2"), n_buckets=4)
+    other.run("mentions", pages, tagging.extract_mentions, key="url", max_buckets_per_job=1)
+    m2 = {r.bucket: r for r in other.manifest("mentions").collect()}
+    assert {b: (r.input_hash, r.row_count) for b, r in m.items()} == {
+        b: (r.input_hash, r.row_count) for b, r in m2.items()
+    }
+    assert out.count() == sum(r.row_count for r in m.values())
 
 
 def test_config_mismatch_refuses_resume(spark, tmp_path):
