@@ -4,11 +4,14 @@
                       over sf0.001 documents-as-pages.
 ``queries()``       — one callable per implemented operator family from
                       SURVEY.md §2 (+ the training-data-pipeline ops).
-``oracle_sql()``    — DuckDB-equivalent ANSI SQL per query.  Omitted only
-                      for genuinely non-SQL-expressible ops (fused-UDF
-                      pipeline, iterative connected components, SimHash
-                      bit math, SRP-LSH ANN) — those get rows-only checks
-                      and have pytest oracles instead.
+``oracle_sql()``    — DuckDB-equivalent ANSI SQL per query, including full
+                      replicas of the fused pipeline (sentence-split CTE),
+                      connected components (recursive min-label closure),
+                      md5-SimHash bit math and md5-lattice SRP-LSH.  Only
+                      bio_eval_full stays rows-only: its one-credit
+                      gold-consumption walk is not ANSI-SQL-expressible
+                      (pytest proves it against the reference-exact
+                      Python oracle instead).
 
 Column names are aligned 1:1 between the Spark plans and the SQL.
 """

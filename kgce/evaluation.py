@@ -158,7 +158,9 @@ def token_accuracy(tokens: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def evaluate_mentions(gold: DataFrame, pred: DataFrame) -> DataFrame:
+def evaluate_mentions(
+    gold: DataFrame, pred: DataFrame, tags_to_exclude: tuple[str, ...] = ()
+) -> DataFrame:
     """Document-level strict/lenient span eval with micro AND macro P/R/F.
 
     Relational re-expression of brat_eval.py (SingleEvaluator :211-301,
@@ -167,12 +169,18 @@ def evaluate_mentions(gold: DataFrame, pred: DataFrame) -> DataFrame:
     per gold span (each gold matches at most one prediction, dedup
     :233-245).  micro = global TP/FP/FN sums; macro = mean of per-doc
     P/R/F — Spark's two-level partial+final aggregation does both in one
-    pass over the match table.
+    pass over the match table.  ``tags_to_exclude`` filters both sides by
+    lowercased type before scoring (the reference drops them at .ann load,
+    brat_eval.py:120-122).
 
     Inputs: mention DataFrames (url, start, end, type).
     Output: (level, scope, tp, fp, fn, precision, recall, f1) where
     level ∈ {strict, lenient}, scope ∈ {micro, macro}.
     """
+    if tags_to_exclude:
+        excl = [t.lower() for t in tags_to_exclude]
+        gold = gold.filter(~F.lower("type").isin(excl))
+        pred = pred.filter(~F.lower("type").isin(excl))
     g = gold.select("url", F.col("start").alias("g_s"), F.col("end").alias("g_e"), "type")
     p = pred.select("url", F.col("start").alias("p_s"), F.col("end").alias("p_e"), "type")
 
@@ -196,6 +204,66 @@ def evaluate_mentions(gold: DataFrame, pred: DataFrame) -> DataFrame:
         .filter("rn = 1")
         .select("url", "type", F.col("p_s"), F.col("p_e"))
     )
+    return _doc_prf_report(p, g, strict_hit.select("url"), lenient_hit.select("url"))
+
+
+def evaluate_relations(
+    gold: DataFrame, pred: DataFrame, tags_to_exclude: tuple[str, ...] = ()
+) -> DataFrame:
+    """Relation-level strict/lenient eval (brat_eval.py Relation.equals
+    :66-73 + SingleEvaluator relations block :263-301): a predicted
+    relation matches a gold one when rtype is equal AND arg1 matches
+    gold's arg1 AND arg2 matches gold's arg2 — exact spans for strict,
+    same-type interval overlap for lenient — with one credit per gold
+    (pare-down :273-285).  For a triple-extraction engine this is the
+    acceptance metric: (subj, pred, obj) IS a relation.
+
+    Inputs: relation DataFrames
+    (url, rtype, a1_s, a1_e, a1_type, a2_s, a2_e, a2_type).
+    Output: same report shape as evaluate_mentions.
+    """
+    if tags_to_exclude:
+        excl = [t.lower() for t in tags_to_exclude]
+        # the reference drops excluded TAGS at load; relations referencing
+        # them are unresolvable there — here: filtered out
+        cond = ~F.lower("a1_type").isin(excl) & ~F.lower("a2_type").isin(excl)
+        gold = gold.filter(cond)
+        pred = pred.filter(cond)
+    cols = ["rtype", "a1_s", "a1_e", "a1_type", "a2_s", "a2_e", "a2_type"]
+    g = gold.select("url", *[F.col(c).alias(f"g_{c}") for c in cols])
+    p = pred.select("url", *[F.col(c).alias(f"p_{c}") for c in cols])
+
+    strict_cond = (p.url == g.url)
+    for c in cols:
+        strict_cond = strict_cond & (p[f"p_{c}"] == g[f"g_{c}"])
+    strict_hit = p.join(g, strict_cond, "left_semi")
+
+    ov = p.alias("p").join(
+        g.alias("g"),
+        F.expr(
+            "p.url = g.url AND p.p_rtype = g.g_rtype "
+            "AND p.p_a1_type = g.g_a1_type AND g.g_a1_s < p.p_a1_e AND p.p_a1_s < g.g_a1_e "
+            "AND p.p_a2_type = g.g_a2_type AND g.g_a2_s < p.p_a2_e AND p.p_a2_s < g.g_a2_e"
+        ),
+    )
+    pk = [f"p.p_{c}" for c in cols]
+    gk = [f"g_{c}" for c in cols]
+    w_pred = Window.partitionBy("p.url", *pk).orderBy(*[f"g.{k}" for k in gk])
+    best_gold = ov.withColumn("rn", F.row_number().over(w_pred)).filter("rn = 1")
+    w_gold = Window.partitionBy("url", *gk).orderBy(*[f"p_{c}" for c in cols])
+    lenient_hit = (
+        best_gold.select("p.url", *[f"p.p_{c}" for c in cols], *[f"g.{k}" for k in gk])
+        .withColumn("rn", F.row_number().over(w_gold))
+        .filter("rn = 1")
+    )
+    return _doc_prf_report(p, g, strict_hit.select("url"), lenient_hit.select("url"))
+
+
+def _doc_prf_report(
+    p: DataFrame, g: DataFrame, strict_hits: DataFrame, lenient_hits: DataFrame
+) -> DataFrame:
+    """Shared micro/macro P/R/F report over per-doc TP/FP/FN counts; every
+    input only needs a ``url`` column (one row per pred / gold / hit)."""
 
     def _counts(hits: DataFrame) -> DataFrame:
         per_doc_p = p.groupBy("url").agg(F.count("*").alias("n_pred"))
@@ -210,7 +278,7 @@ def evaluate_mentions(gold: DataFrame, pred: DataFrame) -> DataFrame:
         )
 
     out = []
-    for level, hits in (("strict", strict_hit.select("url", "type", "p_s", "p_e")), ("lenient", lenient_hit)):
+    for level, hits in (("strict", strict_hits), ("lenient", lenient_hits)):
         per_doc = _counts(hits)
         prf = per_doc.select(
             "url", "tp", "fp", "fn",

@@ -72,13 +72,23 @@ def featurize_sentence(
     label2idx: dict[str, int],
     max_seq_len: int = 64,
     subword_fn: Callable[[str], list[str]] = mock_subwords,
+    vocab_fn: Callable[[str], int] = _vocab_id,
+    specials: tuple[str, str, str] = (CLS, SEP, PAD),
+    unk: str = UNK,
 ) -> list[dict]:
-    """One sentence -> one or more fixed-width chunk feature dicts."""
+    """One sentence -> one or more fixed-width chunk feature dicts.
+
+    ``subword_fn``/``vocab_fn``/``specials`` default to the deterministic
+    mock; pass a kgce.hf.HFTokenizerAdapter's slots for the real thing
+    (the reference's per-family special tokens + convert_tokens_to_ids,
+    data_utils.py:175-190,240).
+    """
+    cls_tk, sep_tk, pad_tk = specials
     pieces: list[str] = []
     piece_labels: list[str] = []
     guards: list[int] = []
     for wi, (w, lab) in enumerate(zip(tokens, labels)):
-        sw = subword_fn(w) or [UNK]
+        sw = subword_fn(w) or [unk]
         pieces.extend(sw)
         piece_labels.extend([lab] + ["X"] * (len(sw) - 1))
         guards.extend([wi + 1] * len(sw))
@@ -100,12 +110,12 @@ def featurize_sentence(
 
     out = []
     for cid, (ps, ls, gs) in enumerate(chunks):
-        toks = [CLS] + ps + [SEP]
+        toks = [cls_tk] + ps + [sep_tk]
         labs = ["CLS"] + ls + ["X"]
         gds = [0] + gs + [0]
         mask = [1] * len(toks)
         n_pad = max_seq_len - len(toks)
-        toks += [PAD] * n_pad
+        toks += [pad_tk] * n_pad
         labs += ["PAD"] * n_pad
         gds += [0] * n_pad
         mask += [0] * n_pad
@@ -113,7 +123,7 @@ def featurize_sentence(
             {
                 "chunk_id": cid,
                 "input_tokens": toks,
-                "input_ids": [_vocab_id(t) for t in toks],
+                "input_ids": [vocab_fn(t) for t in toks],
                 "attention_mask": mask,
                 "token_type_ids": [0] * max_seq_len,
                 "label_ids": [label2idx.get(l, label2idx["O"]) for l in labs],
@@ -127,16 +137,36 @@ def featurize(
     tagged_sentences: DataFrame,
     label2idx: dict[str, int],
     max_seq_len: int = 64,
+    tokenizer_loader: Callable[[], object] | None = None,
 ) -> DataFrame:
-    """TAGGED_SENTENCES -> FEATURES (UDTF fan-out, one narrow stage)."""
+    """TAGGED_SENTENCES -> FEATURES (UDTF fan-out, one narrow stage).
+
+    ``tokenizer_loader``: zero-arg callable returning a
+    kgce.hf.HFTokenizerAdapter-shaped object (``subword_fn``/``vocab_fn``/
+    ``specials``/``unk``), e.g. ``kgce.hf.hf_tokenizer_loader('roberta-
+    base')``.  Only the loader is pickled; the tokenizer builds lazily
+    once per Python worker.  None = deterministic mock tokenizer.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if tokenizer_loader is not None:
+            adapter = tokenizer_loader()
+            kw = dict(
+                subword_fn=adapter.subword_fn,
+                vocab_fn=adapter.vocab_fn,
+                specials=adapter.specials,
+                unk=adapter.unk,
+            )
+        else:
+            kw = {}
         for pdf in it:
             rows = {k.name: [] for k in schemas.FEATURES.fields}
             for url, sid, toks, labs in zip(
                 pdf["url"], pdf["sent_id"], pdf["tokens"], pdf["labels"]
             ):
-                for feat in featurize_sentence(list(toks), list(labs), label2idx, max_seq_len):
+                for feat in featurize_sentence(
+                    list(toks), list(labs), label2idx, max_seq_len, **kw
+                ):
                     rows["url"].append(url)
                     rows["sent_id"].append(sid)
                     for k, v in feat.items():

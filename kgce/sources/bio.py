@@ -136,3 +136,11 @@ def read_biaffine_json(spark: SparkSession, path: str) -> DataFrame:
         ]
     )
     return spark.read.json(path, schema=schema)
+
+
+def write_biaffine_json(examples: DataFrame, path: str) -> None:
+    """K4: biaffine JSON sink — the exact example shape read_biaffine_json
+    loads back (transformer_biaffine_ner/data_utils.py:192-208), so
+    write -> read round-trips.  Plain ``df.write.json``: one JSON object
+    per line, schema (tokens, entities[text, type, span])."""
+    examples.select("tokens", "entities").write.mode("overwrite").json(path)

@@ -20,11 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# exact reference templates (output_format_converter.py:19-41), including
+# the leading newlines and the empty source/date/key/passage wrapper; the
+# reference's xml branch crashes on entities containing '\n' (its offset
+# becomes a "s i;i+1 e" string before the length subtraction) — we keep
+# numeric offsets there instead of reproducing the crash.
 BIOC_HEADER = (
-    '<?xml version="1.0" encoding="UTF-8"?>\n<collection><source>kgce</source>'
-    "<document><id>{}</id>"
+    "\n<?xml version='1.0' encoding='utf-8' standalone='yes'?>\n"
+    "<collection>\n  <source></source>\n  <date></date>\n  <key></key>\n"
+    "  <document>\n    <id>%s</id>\n    <passage>\n      <offset>0</offset>\n"
 )
-BIOC_END = "</document></collection>"
+BIOC_END = "\n    </passage>\n  </document>\n</collection>\n"
+BIOC_ANNOTATION = (
+    '\n      <annotation id="%d">\n'
+    '        <infon key="type">%s</infon>\n'
+    '        <location length="%d" offset="%d"/>\n'
+    "        <text>%s</text>\n"
+    "      </annotation>\n\n"  # template carries '\n' + closing-quote newline
+)
 
 
 def mentions_with_raw_text(mentions: DataFrame, pages: DataFrame) -> DataFrame:
@@ -86,17 +99,21 @@ def write_brat(mentions_raw: DataFrame, out_dir: str) -> None:
 
 
 def bioc_documents(mentions_raw: DataFrame) -> DataFrame:
-    """-> (url, xml) one BioC XML document per page (K3)."""
+    """-> (url, xml) one BioC XML document per page (K3).
+
+    Byte-faithful to the reference assembly (bio2output,
+    output_format_converter.py:226-242): annotation blocks rendered from
+    BIOC_TEMPLATE in entity order, joined with '\\n', wrapped in
+    BIOC_HEADER.format(doc_id) + ... + BIOC_END, one trailing newline.
+    """
     w = Window.partitionBy("url").orderBy("start", "end")
     ann = F.format_string(
-        '<annotation id="%d"><text>%s</text>'
-        '<infon key="type">%s</infon>'
-        '<location length="%d" offset="%d"/></annotation>',
+        BIOC_ANNOTATION,
         F.row_number().over(w),
-        F.regexp_replace("raw_text", "\n", " "),
         F.col("type"),
         F.col("end") - F.col("start"),
         F.col("start"),
+        F.regexp_replace("raw_text", "\n", " "),
     )
     per_doc = (
         mentions_raw.select("url", "start", "end", ann.alias("a"))
@@ -107,18 +124,78 @@ def bioc_documents(mentions_raw: DataFrame) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct("start", "end", "a"))),
                     lambda x: x["a"],
                 ),
-                "",
+                "\n",
             ).alias("body")
         )
     )
     return per_doc.select(
         "url",
         F.concat(
-            F.format_string(BIOC_HEADER.replace("{}", "%s"), F.col("url")),
+            F.format_string(BIOC_HEADER, F.col("url")),
             F.col("body"),
             F.lit(BIOC_END),
+            F.lit("\n"),
         ).alias("xml"),
     )
+
+
+def parse_brat(ann_lines: DataFrame, tags_to_exclude: tuple[str, ...] = ()) -> tuple[DataFrame, DataFrame]:
+    """(url, line) brat rows -> (tags, relations) DataFrames — the .ann
+    loader the reference evaluator uses (brat_eval.py:99-133), relational:
+
+    * T lines: ``T<i>\\t<type> <start>[ <gap-offsets>] <end>\\t<text>`` —
+      discontinuous spans keep first start + last end (the 3/4/5-field
+      cases, :110-116); ``tags_to_exclude`` drops types at load (:120-122).
+    * R lines: ``R<i>\\t<rtype> Arg1:T<a> Arg2:T<b>`` — resolved against
+      the tag table by (url, tid); relations referencing excluded tags
+      disappear via the inner join (the reference would KeyError there).
+
+    Output tags: (url, type, start, end, text); relations:
+    (url, rtype, a1_s, a1_e, a1_type, a2_s, a2_e, a2_type) — directly
+    consumable by evaluate_mentions / evaluate_relations.
+    """
+    parts = F.split("line", "\t")
+    t = (
+        ann_lines.filter(F.col("line").startswith("T"))
+        .select(
+            "url",
+            parts.getItem(0).alias("tid"),
+            F.split(parts.getItem(1), " ").alias("m"),
+            parts.getItem(2).alias("text"),
+        )
+        .select(
+            "url",
+            "tid",
+            F.col("m").getItem(0).alias("type"),
+            F.regexp_extract(F.col("m").getItem(1), r"^\d+", 0).cast("long").alias("start"),
+            F.element_at("m", -1).cast("long").alias("end"),
+            "text",
+        )
+    )
+    if tags_to_exclude:
+        t = t.filter(~F.lower("type").isin([x.lower() for x in tags_to_exclude]))
+    r = ann_lines.filter(F.col("line").startswith("R")).select(
+        "url",
+        F.split(parts.getItem(1), " ").alias("m"),
+    ).select(
+        "url",
+        F.col("m").getItem(0).alias("rtype"),
+        F.substring_index(F.col("m").getItem(1), ":", -1).alias("tid1"),
+        F.substring_index(F.col("m").getItem(2), ":", -1).alias("tid2"),
+    )
+    t1 = t.select(
+        "url", F.col("tid").alias("tid1"), F.col("start").alias("a1_s"),
+        F.col("end").alias("a1_e"), F.col("type").alias("a1_type"),
+    )
+    t2 = t.select(
+        "url", F.col("tid").alias("tid2"), F.col("start").alias("a2_s"),
+        F.col("end").alias("a2_e"), F.col("type").alias("a2_type"),
+    )
+    rels = (
+        r.join(t1, ["url", "tid1"]).join(t2, ["url", "tid2"])
+        .select("url", "rtype", "a1_s", "a1_e", "a1_type", "a2_s", "a2_e", "a2_type")
+    )
+    return t.drop("tid"), rels
 
 
 def merge_brat_outputs(*mention_dfs: DataFrame) -> DataFrame:

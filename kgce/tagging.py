@@ -30,31 +30,64 @@ from . import oracle, schemas
 TagFn = Callable[[list[str]], list[str]]
 
 
-def get_tagger(name: str = "rule") -> TagFn:
+def get_tagger(name: str | TagFn = "rule", **kw) -> TagFn:
+    """Resolve a tagger: ``'rule'`` (deterministic oracle twin),
+    ``'model'`` (HF transformer inference, kgce.hf.HFModelTagger), or any
+    TagFn-shaped callable passed through as-is (taggers exposing a
+    ``tag_batch(list[list[str]])`` method get length-bucketed batched
+    inference in every UDF below)."""
+    if callable(name):
+        return name
     if name == "rule":
         return oracle.rule_tag_sentence
     if name == "model":
-        return _model_tagger()
+        return _model_tagger(**kw)
     raise ValueError(f"unknown tagger: {name}")
 
 
-def _model_tagger() -> TagFn:
-    """Transformer token-classifier tagger (U2).
+def _model_tagger(model_dir: str | None = None, **kw) -> TagFn:
+    """Transformer token-classifier tagger (U2, reference task.py:359-432).
 
-    Real deployments load a HF checkpoint once per Python worker and run
-    batched inference (the reference's eval loop, task.py:359-432, with
-    subword->word first-piece alignment via fast-tokenizer word_ids()).
-    torch/transformers are not installed in this sandbox, so the loader
-    raises; the surrounding Spark plumbing is identical for rule/model.
+    Construction is cheap and torch-free (only the model DIR is pickled
+    into UDF closures); the checkpoint loads lazily once per Python
+    worker on first call.  Without torch/transformers installed the first
+    call raises kgce.hf.MissingDependencyError (a NotImplementedError).
     """
-    try:
-        import torch  # noqa: F401
-        import transformers  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - sandbox has no torch
-        raise NotImplementedError(
-            "model tagger requires torch+transformers; use tagger='rule'"
-        ) from exc
-    raise NotImplementedError("model weights not distributed in this sandbox")
+    import os
+
+    from .hf import HFModelTagger
+
+    model_dir = model_dir or os.environ.get("KGCE_MODEL_DIR")
+    if not model_dir:
+        raise ValueError("tagger='model' requires model_dir=... or $KGCE_MODEL_DIR")
+    return HFModelTagger(model_dir, **kw)
+
+
+def _tagged_page_sentences(pdf: pd.DataFrame, tag_fn: TagFn) -> list[tuple]:
+    """Split + tokenize every page of one Arrow batch, then tag ALL
+    sentences in ONE ``tag_batch`` call when the tagger supports it (the
+    model path: length-bucketed batched inference amortized across the
+    whole batch instead of one forward per sentence).  Returns
+    (url, sent_id, words, char_offsets, repaired_labels) per sentence, in
+    page order.  Row-level isolation (S5): null/empty pages contribute
+    nothing instead of failing the batch."""
+    sents: list[tuple] = []
+    for url, text in zip(pdf["url"], pdf["text"]):
+        if text is None:
+            continue
+        for sid, (s, e) in enumerate(oracle.split_sentences(text)):
+            toks = oracle.tokenize(text[s:e], base=s)
+            if not toks:
+                continue
+            sents.append((url, sid, [t[0] for t in toks], [(t[1], t[2]) for t in toks]))
+    if hasattr(tag_fn, "tag_batch"):
+        raw = tag_fn.tag_batch([s[2] for s in sents]) if sents else []
+    else:
+        raw = [tag_fn(s[2]) for s in sents]
+    return [
+        (u, sid, w, o, oracle.fix_bio(labs))
+        for (u, sid, w, o), labs in zip(sents, raw)
+    ]
 
 
 # --------------------------------------------------------------------------
@@ -104,7 +137,12 @@ def tag_sentences(sentences: DataFrame, tagger: str = "rule") -> DataFrame:
         tag_fn = get_tagger(tagger)
         for pdf in it:
             pdf = pdf.copy()
-            pdf["labels"] = [oracle.fix_bio(tag_fn(list(toks))) for toks in pdf["tokens"]]
+            toks_list = [list(toks) for toks in pdf["tokens"]]
+            if hasattr(tag_fn, "tag_batch"):
+                raw = tag_fn.tag_batch(toks_list) if toks_list else []
+            else:
+                raw = [tag_fn(t) for t in toks_list]
+            pdf["labels"] = [oracle.fix_bio(labs) for labs in raw]
             yield pdf
 
     return sentences.mapInPandas(tag_batches, schema=schemas.TAGGED_SENTENCES)
@@ -124,21 +162,17 @@ def extract_mentions(pages: DataFrame, tagger: str = "rule") -> DataFrame:
     """
 
     def mention_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import groupby
+
         tag_fn = get_tagger(tagger)
         for pdf in it:
             rows = {k: [] for k in ("url", "sent_id", "mention_id", "text",
                                     "start", "end", "type")}
-            for url, text in zip(pdf["url"], pdf["text"]):
-                if text is None:
-                    continue
+            tagged = _tagged_page_sentences(pdf, tag_fn)
+            # sentences arrive page-contiguous, so groupby restores pages
+            for url, page in groupby(tagged, key=lambda t: t[0]):
                 page_ms = []
-                for sid, (s, e) in enumerate(oracle.split_sentences(text)):
-                    toks = oracle.tokenize(text[s:e], base=s)
-                    if not toks:
-                        continue
-                    words = [t[0] for t in toks]
-                    offs = [(t[1], t[2]) for t in toks]
-                    labels = oracle.fix_bio(tag_fn(words))
+                for _, sid, words, offs, labels in page:
                     for sp in oracle.decode_spans_converter(words, offs, labels):
                         page_ms.append((sid, sp.text, sp.char_s, sp.char_e, sp.etype))
                 page_ms.sort(key=lambda m: (m[2], m[3]))
@@ -183,32 +217,23 @@ def extract_pairs_fused(pages: DataFrame, tagger: str = "rule") -> DataFrame:
         for pdf in it:
             rows = {k: [] for k in ("url", "sent_id", "subj_text", "subj_type",
                                     "pred", "obj_text", "obj_type", "confidence")}
-            for url, text in zip(pdf["url"], pdf["text"]):
-                if text is None:
-                    continue
-                for sid, (s, e) in enumerate(oracle.split_sentences(text)):
-                    toks = oracle.tokenize(text[s:e], base=s)
-                    if not toks:
-                        continue
-                    words = [t[0] for t in toks]
-                    offs = [(t[1], t[2]) for t in toks]
-                    labels = oracle.fix_bio(tag_fn(words))
-                    ms = sorted(
-                        oracle.decode_spans_converter(words, offs, labels),
-                        key=lambda sp: (sp.char_s, sp.char_e),
-                    )
-                    for i in range(len(ms)):
-                        for j in range(i + 1, len(ms)):
-                            a, b = ms[i], ms[j]
-                            gap = max(b.char_s - a.char_e, 0)
-                            rows["url"].append(url)
-                            rows["sent_id"].append(sid)
-                            rows["subj_text"].append(a.text)
-                            rows["subj_type"].append(a.etype)
-                            rows["pred"].append(f"rel:{a.etype}_{b.etype}")
-                            rows["obj_text"].append(b.text)
-                            rows["obj_type"].append(b.etype)
-                            rows["confidence"].append(1.0 / (1.0 + gap / 100.0))
+            for url, sid, words, offs, labels in _tagged_page_sentences(pdf, tag_fn):
+                ms = sorted(
+                    oracle.decode_spans_converter(words, offs, labels),
+                    key=lambda sp: (sp.char_s, sp.char_e),
+                )
+                for i in range(len(ms)):
+                    for j in range(i + 1, len(ms)):
+                        a, b = ms[i], ms[j]
+                        gap = max(b.char_s - a.char_e, 0)
+                        rows["url"].append(url)
+                        rows["sent_id"].append(sid)
+                        rows["subj_text"].append(a.text)
+                        rows["subj_type"].append(a.etype)
+                        rows["pred"].append(f"rel:{a.etype}_{b.etype}")
+                        rows["obj_text"].append(b.text)
+                        rows["obj_type"].append(b.etype)
+                        rows["confidence"].append(1.0 / (1.0 + gap / 100.0))
             yield pd.DataFrame(rows)
 
     return pages.select("url", "text").mapInPandas(pair_batches, schema=PAIRS_SCHEMA)
@@ -233,27 +258,18 @@ def extract_sentence_mentions(pages: DataFrame, tagger: str = "rule") -> DataFra
         tag_fn = get_tagger(tagger)
         for pdf in it:
             rows = {"url": [], "sent_id": [], "ms": []}
-            for url, text in zip(pdf["url"], pdf["text"]):
-                if text is None:
-                    continue
-                for sid, (s, e) in enumerate(oracle.split_sentences(text)):
-                    toks = oracle.tokenize(text[s:e], base=s)
-                    if not toks:
-                        continue
-                    words = [t[0] for t in toks]
-                    offs = [(t[1], t[2]) for t in toks]
-                    labels = oracle.fix_bio(tag_fn(words))
-                    ms = sorted(
-                        (
-                            (sp.text, sp.etype, sp.char_s, sp.char_e)
-                            for sp in oracle.decode_spans_converter(words, offs, labels)
-                        ),
-                        key=lambda m: (m[2], m[3]),
-                    )
-                    if ms:
-                        rows["url"].append(url)
-                        rows["sent_id"].append(sid)
-                        rows["ms"].append(ms)
+            for url, sid, words, offs, labels in _tagged_page_sentences(pdf, tag_fn):
+                ms = sorted(
+                    (
+                        (sp.text, sp.etype, sp.char_s, sp.char_e)
+                        for sp in oracle.decode_spans_converter(words, offs, labels)
+                    ),
+                    key=lambda m: (m[2], m[3]),
+                )
+                if ms:
+                    rows["url"].append(url)
+                    rows["sent_id"].append(sid)
+                    rows["ms"].append(ms)
             yield pd.DataFrame(rows)
 
     return pages.select("url", "text").mapInPandas(batches, schema=SENT_MENTIONS_SCHEMA)

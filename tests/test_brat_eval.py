@@ -55,3 +55,76 @@ def test_macro_averages_per_doc(spark):
     assert abs(micro.recall - 2 / 5) < 1e-9
     assert abs(macro.recall - (1.0 + 0.25) / 2) < 1e-9
     assert micro.recall != macro.recall
+
+R = (
+    "url string, rtype string, a1_s int, a1_e int, a1_type string, "
+    "a2_s int, a2_e int, a2_type string"
+)
+
+
+def test_relation_eval_strict_and_lenient(spark):
+    gold = spark.createDataFrame(
+        [
+            ("d1", "treats", 0, 5, "drug", 10, 15, "disease"),
+            ("d1", "treats", 20, 25, "drug", 30, 35, "disease"),
+            ("d2", "causes", 0, 3, "chem", 8, 12, "disease"),
+        ],
+        R,
+    )
+    pred = spark.createDataFrame(
+        [
+            ("d1", "treats", 0, 5, "drug", 10, 15, "disease"),   # strict TP
+            ("d1", "treats", 21, 24, "drug", 31, 34, "disease"),  # lenient-only TP
+            ("d2", "treats", 0, 3, "chem", 8, 12, "disease"),     # FP: wrong rtype
+        ],
+        R,
+    )
+    res = {(r.level, r.scope): r for r in evaluation.evaluate_relations(gold, pred).collect()}
+    sm = res[("strict", "micro")]
+    assert (sm.tp, sm.fp, sm.fn) == (1, 2, 2)
+    lm = res[("lenient", "micro")]
+    assert (lm.tp, lm.fp, lm.fn) == (2, 1, 1)
+
+
+def test_relation_one_credit_per_gold(spark):
+    gold = spark.createDataFrame([("d1", "rel", 0, 10, "a", 20, 30, "b")], R)
+    pred = spark.createDataFrame(
+        [("d1", "rel", 0, 4, "a", 20, 24, "b"), ("d1", "rel", 5, 9, "a", 25, 29, "b")], R
+    )
+    res = {(r.level, r.scope): r for r in evaluation.evaluate_relations(gold, pred).collect()}
+    lm = res[("lenient", "micro")]
+    assert (lm.tp, lm.fp, lm.fn) == (1, 1, 0)
+
+
+def test_tags_to_exclude(spark):
+    gold = spark.createDataFrame([("d1", 0, 5, "per"), ("d1", 10, 15, "skip")], M)
+    pred = spark.createDataFrame([("d1", 0, 5, "per"), ("d1", 10, 15, "skip")], M)
+    res = {
+        (r.level, r.scope): r
+        for r in evaluation.evaluate_mentions(gold, pred, tags_to_exclude=("SKIP",)).collect()
+    }
+    sm = res[("strict", "micro")]
+    assert (sm.tp, sm.fp, sm.fn) == (1, 0, 0)
+
+
+def test_parse_brat_roundtrip_and_relation_counts(spark):
+    """T/R lines -> tags+relations -> eval, matching hand counts (the
+    reference loader semantics incl. discontinuous spans + exclusions)."""
+    from kgce.sources import sinks
+
+    lines = [
+        ("d1", "T1\tdrug 0 5\taspirin"),
+        ("d1", "T2\tdisease 10 18;19 22\theart disease"),  # discontinuous
+        ("d1", "T3\tskipme 30 35\tnoise"),
+        ("d1", "R1\ttreats Arg1:T1 Arg2:T2"),
+        ("d1", "R2\ttreats Arg1:T1 Arg2:T3"),  # references excluded tag
+    ]
+    df = spark.createDataFrame(lines, "url string, line string")
+    tags, rels = sinks.parse_brat(df, tags_to_exclude=("skipme",))
+    t = {(r.type, r.start, r.end) for r in tags.collect()}
+    assert t == {("drug", 0, 5), ("disease", 10, 22)}
+    got = rels.collect()
+    assert len(got) == 1 and got[0].rtype == "treats" and got[0].a2_e == 22
+    # parsed relations feed the evaluator directly
+    rep = {(r.level, r.scope): r for r in evaluation.evaluate_relations(rels, rels).collect()}
+    assert rep[("strict", "micro")].tp == 1

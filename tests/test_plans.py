@@ -1,0 +1,75 @@
+"""Physical-plan pins: regressions in the scale-critical plan shapes fail
+CI instead of silently rotting the PLANS.md audit.
+
+What is pinned and why (each was a round-1 verdict finding):
+* flagship fused pipeline = exactly ONE Python stage + ONE shuffle;
+* xx-MinHash signature aggregation = HashAggregate (long buffers), never
+  SortAggregate (string buffers force a full sort of every shingle row);
+* minhash_lsh_pairs self-join reads the checkpointed band table, not two
+  recomputed signature pipelines (no FileScan below the join);
+* build_nodes' heavy pass over mentions has no SortAggregate;
+* q1 scan prunes columns and pushes the date filter into parquet.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from kgce import schemas, synth
+from kgce.operators import dedup, triples
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _pages(spark, n=20):
+    return spark.createDataFrame(synth.gen_pages(n, seed=5), schema=schemas.PAGES)
+
+
+def _docs(spark):
+    rows = [(i, f"spark table number {i} holds customer data rows") for i in range(30)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_flagship_one_udf_one_shuffle(spark):
+    plan = _plan(triples.extract_triples_fused(_pages(spark)))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_xx_minhash_signatures_hash_aggregate(spark):
+    plan = _plan(dedup.minhash_band_buckets(_docs(spark), hash_fn="xx"))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_lsh_pairs_joins_checkpointed_buckets(spark):
+    plan = _plan(dedup.minhash_lsh_pairs(_docs(spark)))
+    # the signature pipeline ran ONCE at checkpoint time; the pair join
+    # must scan the materialized band table on both sides, not recompute
+    assert "FileScan" not in plan and "SortAggregate" not in plan
+    assert plan.count("ExistingRDD") >= 2 or plan.count("LocalTableScan") >= 2
+
+
+def test_build_nodes_no_sort_aggregate(spark):
+    from kgce import tagging
+    from kgce.operators import linking
+    from kgce.plans import materialize
+
+    mentions = tagging.extract_mentions(_pages(spark, 10))
+    canon = linking.canonicalize(mentions)
+    plan = _plan(materialize.build_nodes(canon, mentions))
+    assert "SortAggregate" not in plan
+
+
+def test_q1_prunes_and_pushes(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    # ReadSchema is length-truncated in the plan string; the pruning proof
+    # is that the first projected columns are the needed ones and the
+    # date filter reached the parquet scan as a pushed filter
+    read_schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert read_schema.startswith("struct<l_quantity") and "l_comment" not in read_schema
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan)

@@ -69,10 +69,20 @@ def test_bioc_sink(spark):
     mentions = tagging.extract_mentions(pages)
     raw = sinks.mentions_with_raw_text(mentions, pages)
     xml = sinks.bioc_documents(raw).collect()[0].xml
-    assert xml.startswith('<?xml version="1.0"')
-    assert '<annotation id="1"><text>Alice</text>' in xml
-    assert '<location length="5" offset="0"/>' in xml
-    assert xml.endswith("</document></collection>")
+    # exact reference assembly (output_format_converter.py:19-41,240-242):
+    # leading newline, source/date/key wrapper, passage offset 0, the
+    # annotation block with infon BEFORE location BEFORE text, trailing \n
+    assert xml.startswith("\n<?xml version='1.0' encoding='utf-8' standalone='yes'?>")
+    assert "<source></source>\n  <date></date>\n  <key></key>" in xml
+    assert "<id>u1</id>\n    <passage>\n      <offset>0</offset>" in xml
+    assert (
+        '      <annotation id="1">\n'
+        '        <infon key="type">per</infon>\n'
+        '        <location length="5" offset="0"/>\n'
+        "        <text>Alice</text>\n"
+        "      </annotation>" in xml
+    )
+    assert xml.endswith("\n    </passage>\n  </document>\n</collection>\n\n")
 
 
 def test_merge_brat_outputs_dedups(spark):
@@ -95,3 +105,22 @@ def test_read_biaffine_json(spark, tmp_path):
     assert r.entities[0].type == "per" and r.entities[0].span == [0, 1]
     types = df.select(F.explode("entities.type")).distinct().collect()
     assert [t[0] for t in types] == ["per"]
+
+
+def test_biaffine_json_roundtrip(spark, tmp_path):
+    from kgce.sources.bio import read_biaffine_json, write_biaffine_json
+
+    path = str(tmp_path / "bjson")
+    src = spark.createDataFrame(
+        [
+            (["Alice", "met", "Bob"], [("Alice", "per", [0, 0]), ("Bob", "per", [2, 2])]),
+            (["nothing", "here"], []),
+        ],
+        "tokens array<string>, "
+        "entities array<struct<text:string,type:string,span:array<int>>>",
+    )
+    write_biaffine_json(src, path)
+    back = read_biaffine_json(spark, path)
+    a = sorted((tuple(r.tokens), tuple(map(tuple, r.entities or []))) for r in src.collect())
+    b = sorted((tuple(r.tokens), tuple(map(tuple, r.entities or []))) for r in back.collect())
+    assert a == b
