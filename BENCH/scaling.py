@@ -9,9 +9,10 @@ competes with neighbor load) — on the SAME input, in separate JVMs,
 reporting throughput at both plus efficiency = (T_N / T_4N) / 4.
 min-of-3 timed runs per level guards against neighbor noise spikes.
 
-The measured job is the flagship fused pipeline (documents-as-pages ->
-mentions -> scored pairs -> aggregated triples), timed inside the process
-AFTER session warm-up so JVM startup is excluded.
+The measured job is the flagship hybrid pipeline (documents-as-pages ->
+Python mention tagging -> JVM pair generation -> aggregated triples),
+timed inside the process AFTER session warm-up so JVM startup is
+excluded.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -48,7 +49,7 @@ pages = (
 )
 pages = pages.repartition(cores * 8).cache()
 pages.count()  # warm: materialize input, JIT, python workers
-job = triples_ops.extract_triples_fused(pages)
+job = triples_ops.extract_triples_hybrid(pages)  # the flagship form
 n = job.count()  # warm-up pass compiles codegen + spins python workers
 walls = []
 for _ in range(3):
@@ -61,10 +62,16 @@ print(json.dumps({{"cores": cores, "wall_sec": wall, "triples": n,
 """
 
 
-def run_at(cores: int, sf_dir: str) -> dict:
+def run_at(cores: int, sf_dir: str, cpu_base: int = 16) -> dict:
+    """Run the measured job in a fresh JVM pinned to exactly ``cores``
+    PHYSICAL cpus (taskset over the whole process tree — JVM threads AND
+    Python workers).  Without pinning, local[N]'s Arrow-pipelined
+    Python+JVM overlap burns up to 2N cores, silently inflating the
+    low-parallelism throughput and deflating measured scaling."""
+    cpus = ",".join(str(cpu_base + i) for i in range(cores))
     env = dict(os.environ, KGCE_CORES=str(cores), SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
-        [sys.executable, "-c", RUN_SNIPPET.format(repo=str(REPO))],
+        ["taskset", "-c", cpus, sys.executable, "-c", RUN_SNIPPET.format(repo=str(REPO))],
         env=env,
         capture_output=True,
         text=True,
@@ -92,12 +99,15 @@ def main() -> None:
     print(json.dumps(result))
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
-Job: fused KG pipeline (documents-as-pages → mention detection via
-mapInPandas → sentence-scoped mention pairing → triple aggregation) on
-`{sf_dir}` amplified ×64 deterministically ({lo['triples']} distinct
-triples from 320k pages / ~27.7M mention pairs), same input at two
-parallelism levels, separate JVMs, min of 3 timed runs per level,
-session warm-up and input materialization excluded from timing.
+Job: flagship hybrid KG pipeline (documents-as-pages → Python mention
+tagging via mapInPandas → JVM posexplode pair generation → triple
+aggregation) on `{sf_dir}` amplified ×64 deterministically
+({lo['triples']} distinct triples from 320k pages / ~27.7M mention
+pairs), same input at two parallelism levels, separate JVMs pinned with
+``taskset`` to exactly N physical cpus each (without pinning, local[N]'s
+Arrow-pipelined Python+JVM overlap burns up to 2N cores and understates
+scaling), min of 3 timed runs per level, session warm-up and input
+materialization excluded from timing.
 
 | parallelism | wall (s) | triples/sec |
 |---|---|---|
@@ -108,14 +118,15 @@ session warm-up and input materialization excluded from timing.
 (target ≥ 0.8 — {"MET" if eff >= 0.8 else "NOT MET"})
 
 Sandbox proxy for the BASELINE.json two-cluster-size criterion: no real
-cluster is available, so parallelism levels stand in for executor counts.
-N=2 vs 4N=8 was chosen because the 32-core host is SHARED (steady
-neighbor load ~11): local[32] competes for ~21 free cores, which measures
-the neighbors, not the engine.  The measured job is the fused pipeline
-(pages -> mention detection + pair generation in one narrow Arrow-UDF
-stage -> partial-aggregated triple groupBy); its only wide shuffle is the
-63k-key triple aggregation, so the scaling profile is CPU-dominated —
-the same profile a real cluster would see per-executor.
+cluster is available, so taskset-pinned parallelism levels stand in for
+executor counts.  N=2 vs 4N=8 was chosen because the 32-core host is
+SHARED: pinning to cpus 16-23 keeps the measurement inside a fixed slice
+regardless of neighbor load; local[32] would compete with neighbors and
+measure them, not the engine.  The measured job is the flagship hybrid
+pipeline (pages -> mention tagging in one narrow Arrow-UDF stage -> JVM
+pair generation -> partial-aggregated triple groupBy); its only wide
+shuffle is the 63k-key triple aggregation, so the scaling profile is
+CPU-dominated — the same profile a real cluster would see per-executor.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
 

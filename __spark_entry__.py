@@ -54,15 +54,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """documents-as-pages -> fused mention detection -> aggregated triples."""
-    from kgce import tagging
+    """documents-as-pages -> mention detection -> aggregated triples.
 
+    Flagship = the HYBRID form (Python tags sentences, JVM posexplode
+    generates the O(k²) pairs, partial-agg shuffle only): measured ~25%
+    faster than the fully-fused form at sf0.1/local[32] with identical
+    output (both forms stay graded queries below)."""
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
     pages = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.col("text"),
     )
-    return triples_ops.extract_triples_fused(pages)
+    return triples_ops.extract_triples_hybrid(pages)
 
 
 # --------------------------------------------------------------------------
@@ -335,6 +338,19 @@ def q_pipeline_triples(spark, sf):
     )
 
 
+def q_pipeline_triples_hybrid(spark, sf):
+    """Property-equal hybrid form (JVM-side pair generation) graded
+    against the SAME DuckDB oracle — the driver proves fused == hybrid ==
+    SQL semantics every round."""
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"), "text"
+    )
+    return triples_ops.extract_triples_hybrid(pages).select(
+        "subj_text", "subj_type", "pred", "obj_text", "obj_type", "n_evidence"
+    )
+
+
 def q_bio_eval_full(spark, sf):
     """The complete reference eval (strict/relax/one-credit, A3 rollup,
     A4 P/R/F) as one Spark query — rows-only here because the one-credit
@@ -388,6 +404,58 @@ def q_ann_lsh(spark, sf):
     return ann.cosine_topk_lsh(emb, qvec, k=20, plane_hash="md5")
 
 
+def _doc_relations(docs, min_token_len: int = 0):
+    """Deterministic relations for eval: consecutive mention pairs per doc
+    (arg spans in token space, rtype from the type pair)."""
+    from kgce.operators import ruletag as rt
+
+    m = rt.document_mentions(docs, min_token_len=min_token_len)
+    w = Window.partitionBy("doc_id").orderBy("tok_s")
+    r = m.select(
+        "doc_id", "tok_s", "n_toks", "mtype",
+        F.lead("tok_s").over(w).alias("b_s"),
+        F.lead("n_toks").over(w).alias("b_n"),
+        F.lead("mtype").over(w).alias("b_t"),
+    ).filter(F.col("b_s").isNotNull())
+    return r.select(
+        F.col("doc_id").alias("url"),
+        F.concat(F.lit("rel:"), "mtype", F.lit("_"), "b_t").alias("rtype"),
+        F.col("tok_s").alias("a1_s"),
+        (F.col("tok_s") + F.col("n_toks")).alias("a1_e"),
+        F.col("mtype").alias("a1_type"),
+        F.col("b_s").alias("a2_s"),
+        (F.col("b_s") + F.col("b_n")).alias("a2_e"),
+        F.col("b_t").alias("a2_type"),
+    )
+
+
+def q_relation_eval(spark, sf):
+    """J7-relations: full strict/lenient relation evaluation report
+    (micro + macro) over gold vs stricter-tagger relations, graded
+    against a DuckDB replica of the one-credit pare-down semantics."""
+    from kgce import evaluation
+
+    docs = _t(spark, sf, "documents")
+    gold = _doc_relations(docs)
+    pred = _doc_relations(docs, min_token_len=4)
+    rep = evaluation.evaluate_relations(gold, pred)
+    return rep.select(
+        "level", "scope", "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_near_dup_groups(spark, sf):
+    """Full near-dup clustering chain: MinHash-LSH candidates -> exact
+    Jaccard verify -> connected components -> keeper per cluster, graded
+    against a DuckDB recursive-CTE replica of the whole chain."""
+    return dedup.near_dup_groups(
+        _t(spark, sf, "documents"), hash_fn="md5", threshold=0.4
+    )
+
+
 def q_embedding_near_dups(spark, sf):
     return ann.embedding_near_dup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.3, dim=64, plane_hash="md5"
@@ -430,8 +498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — that one is pytest-proven against the reference-exact oracle)
         "bio_eval_full": q_bio_eval_full,
         "pipeline_triples": q_pipeline_triples,
+        "pipeline_triples_hybrid": q_pipeline_triples_hybrid,
         "connected_components": q_connected_components,
         "simhash_pairs": q_simhash_pairs,
+        "near_dup_groups": q_near_dup_groups,
+        "relation_eval": q_relation_eval,
         "ann_lsh_topk": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
     }
@@ -457,8 +528,10 @@ _SW_FR = "'le','la','les','et','est','dans','pour','que','une','des'"
 
 
 def _minhash_cols(num_hashes: int = 8) -> str:
+    # numeric 60-bit minhash (first 15 md5 hex chars) — the long-buffered
+    # HashAggregate form; mirrors Spark conv(substr(md5(..),1,15),16,10)
     return ", ".join(
-        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s)))) AS mh{i}"
+        f"list_min(list_transform(sh, s -> ('0x'||substr(md5(concat('{i}:', s)),1,15))::BIGINT)) AS mh{i}"
         for i in range(num_hashes)
     )
 
@@ -475,6 +548,146 @@ b AS (
 """
 
 _BANDS_SQL = "WITH " + _BANDS_BODY
+
+# full near-dup clustering: LSH candidates -> exact-Jaccard verify ->
+# transitive closure -> keeper (Spark twin: dedup.near_dup_groups)
+_NEAR_DUP_GROUPS_SQL = (
+    "WITH RECURSIVE "
+    + _BANDS_BODY
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b2.doc_id AS b
+  FROM b a JOIN b b2 ON a.band_id = b2.band_id AND a.bucket = b2.bucket
+       AND a.doc_id < b2.doc_id
+),
+pairs AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b
+  WHERE len(list_intersect(x.sh, y.sh))
+        >= 0.4 * (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+),
+e AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v FROM pairs
+      UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+comp AS (SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT d.doc_id AS doc_id,
+       coalesce(c.component, d.doc_id) AS group_id,
+       (d.doc_id = coalesce(c.component, d.doc_id)) AS keeper
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+)
+
+def _relation_eval_sql() -> str:
+    """DuckDB replica of evaluation.evaluate_relations + _doc_prf_report
+    over consecutive-mention relations: strict = exact tuple equality;
+    lenient = per-arg same-type interval overlap with one credit per gold
+    AND per pred (double row_number pare-down); micro = global sums,
+    macro = mean of per-doc P/R/F."""
+    rel_from = """
+      SELECT url, concat('rel:', a1_type, '_', a2_type) AS rtype,
+             a1_s, a1_e, a1_type, a2_s, a2_e, a2_type
+      FROM (
+        SELECT doc_id AS url, mtype AS a1_type, tok_s AS a1_s,
+               tok_s + n_toks AS a1_e,
+               lead(mtype) OVER w AS a2_type,
+               lead(tok_s) OVER w AS a2_s,
+               lead(tok_s + n_toks) OVER w AS a2_e
+        FROM {src} WINDOW w AS (PARTITION BY doc_id ORDER BY tok_s)
+      ) WHERE a2_s IS NOT NULL
+    """
+    per_level = """
+      hits_{lv} AS (SELECT url, count(*) AS tp FROM {lv}_hit GROUP BY url),
+      counts_{lv} AS (
+        SELECT coalesce(pg.url, pp.url, h.url) AS url,
+               coalesce(n_gold, 0) AS n_gold, coalesce(n_pred, 0) AS n_pred,
+               coalesce(tp, 0) AS tp,
+               coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+               coalesce(n_gold, 0) - coalesce(tp, 0) AS fn
+        FROM pd_g pg FULL JOIN pd_p pp ON pg.url = pp.url
+             FULL JOIN hits_{lv} h ON coalesce(pg.url, pp.url) = h.url
+      ),
+      prf_{lv} AS (
+        SELECT url, tp, fp, fn,
+               CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END AS pre,
+               CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END AS rec
+        FROM counts_{lv}
+      ),
+      prff_{lv} AS (
+        SELECT *, CASE WHEN pre + rec > 0 THEN 2 * pre * rec / (pre + rec)
+                       ELSE 0.0 END AS f1
+        FROM prf_{lv}
+      )
+    """
+    report = """
+      SELECT '{lv}' AS level, 'micro' AS scope,
+             sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+             round(CASE WHEN sum(tp) + sum(fp) > 0
+                   THEN sum(tp) * 1.0 / (sum(tp) + sum(fp)) ELSE 0.0 END, 6) AS precision,
+             round(CASE WHEN sum(tp) + sum(fn) > 0
+                   THEN sum(tp) * 1.0 / (sum(tp) + sum(fn)) ELSE 0.0 END, 6) AS recall,
+             round(CASE WHEN (CASE WHEN sum(tp) + sum(fp) > 0 THEN sum(tp) * 1.0 / (sum(tp) + sum(fp)) ELSE 0.0 END)
+                      + (CASE WHEN sum(tp) + sum(fn) > 0 THEN sum(tp) * 1.0 / (sum(tp) + sum(fn)) ELSE 0.0 END) > 0
+                   THEN 2 * (CASE WHEN sum(tp) + sum(fp) > 0 THEN sum(tp) * 1.0 / (sum(tp) + sum(fp)) ELSE 0.0 END)
+                          * (CASE WHEN sum(tp) + sum(fn) > 0 THEN sum(tp) * 1.0 / (sum(tp) + sum(fn)) ELSE 0.0 END)
+                        / ((CASE WHEN sum(tp) + sum(fp) > 0 THEN sum(tp) * 1.0 / (sum(tp) + sum(fp)) ELSE 0.0 END)
+                         + (CASE WHEN sum(tp) + sum(fn) > 0 THEN sum(tp) * 1.0 / (sum(tp) + sum(fn)) ELSE 0.0 END))
+                   ELSE 0.0 END, 6) AS f1
+      FROM prff_{lv}
+      UNION ALL
+      SELECT '{lv}', 'macro', sum(tp), sum(fp), sum(fn),
+             round(avg(pre), 6), round(avg(rec), 6), round(avg(f1), 6)
+      FROM prff_{lv}
+    """
+    gfields = "rtype, a1_s, a1_e, a1_type, a2_s, a2_e, a2_type"
+    return f"""
+WITH m AS ({_MENTIONS}), mp AS ({_MENTIONS_P4}),
+g AS ({rel_from.format(src="m")}),
+p AS ({rel_from.format(src="mp")}),
+strict_hit AS (
+  SELECT p.url FROM p WHERE EXISTS (
+    SELECT 1 FROM g WHERE g.url = p.url AND g.rtype = p.rtype
+      AND g.a1_s = p.a1_s AND g.a1_e = p.a1_e AND g.a1_type = p.a1_type
+      AND g.a2_s = p.a2_s AND g.a2_e = p.a2_e AND g.a2_type = p.a2_type)
+),
+ov AS (
+  SELECT p.url,
+         p.rtype AS p_rtype, p.a1_s AS p_a1_s, p.a1_e AS p_a1_e, p.a1_type AS p_a1_type,
+         p.a2_s AS p_a2_s, p.a2_e AS p_a2_e, p.a2_type AS p_a2_type,
+         g.rtype AS g_rtype, g.a1_s AS g_a1_s, g.a1_e AS g_a1_e, g.a1_type AS g_a1_type,
+         g.a2_s AS g_a2_s, g.a2_e AS g_a2_e, g.a2_type AS g_a2_type
+  FROM p JOIN g ON p.url = g.url AND p.rtype = g.rtype
+    AND p.a1_type = g.a1_type AND g.a1_s < p.a1_e AND p.a1_s < g.a1_e
+    AND p.a2_type = g.a2_type AND g.a2_s < p.a2_e AND p.a2_s < g.a2_e
+),
+best_gold AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY url, p_rtype, p_a1_s, p_a1_e, p_a1_type, p_a2_s, p_a2_e, p_a2_type
+      ORDER BY g_rtype, g_a1_s, g_a1_e, g_a1_type, g_a2_s, g_a2_e, g_a2_type) AS rn
+    FROM ov
+  ) WHERE rn = 1
+),
+lenient_hit AS (
+  SELECT url FROM (
+    SELECT url, row_number() OVER (
+      PARTITION BY url, g_rtype, g_a1_s, g_a1_e, g_a1_type, g_a2_s, g_a2_e, g_a2_type
+      ORDER BY p_rtype, p_a1_s, p_a1_e, p_a1_type, p_a2_s, p_a2_e, p_a2_type) AS rn2
+    FROM best_gold
+  ) WHERE rn2 = 1
+),
+pd_p AS (SELECT url, count(*) AS n_pred FROM p GROUP BY url),
+pd_g AS (SELECT url, count(*) AS n_gold FROM g GROUP BY url),
+{per_level.format(lv="strict").strip()},
+{per_level.format(lv="lenient").strip()}
+{report.format(lv="strict")}
+UNION ALL
+{report.format(lv="lenient")}
+"""
+
 
 # connected components over the LSH candidate pairs: transitive closure by
 # recursive min-label reachability (fine at oracle scale; the Spark side is
@@ -847,8 +1060,11 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY c DESC, vec_id LIMIT 20
         """,
         "pipeline_triples": _fused_pipeline_sql(),
+        "pipeline_triples_hybrid": _fused_pipeline_sql(),
         "connected_components": _CC_SQL,
         "simhash_pairs": _simhash_md5_sql(max_hamming=8),
+        "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
+        "relation_eval": _relation_eval_sql(),
         "ann_lsh_topk": _ann_lsh_sql(k=20, n_planes=6, dim=64),
         "embedding_near_dups": _near_dup_emb_sql(threshold=0.3, n_planes=8, dim=64),
     }

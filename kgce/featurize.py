@@ -75,6 +75,7 @@ def featurize_sentence(
     vocab_fn: Callable[[str], int] = _vocab_id,
     specials: tuple[str, str, str] = (CLS, SEP, PAD),
     unk: str = UNK,
+    dialect: str = "bert",
 ) -> list[dict]:
     """One sentence -> one or more fixed-width chunk feature dicts.
 
@@ -82,7 +83,14 @@ def featurize_sentence(
     mock; pass a kgce.hf.HFTokenizerAdapter's slots for the real thing
     (the reference's per-family special tokens + convert_tokens_to_ids,
     data_utils.py:175-190,240).
+
+    ``dialect='xlnet'`` reproduces the pre-pad layout (data_utils.py:
+    192-231,296-299): continuation pieces keep the WORD label (not 'X'),
+    frame = ``<s> body </s> <sep> <cls>`` all labeled 'O' (4 specials,
+    not 2), padding INSERTED AT THE FRONT, segment ids = 3 on pads /
+    0 on body / 2 on the final ``<cls>``.
     """
+    xlnet = dialect == "xlnet"
     cls_tk, sep_tk, pad_tk = specials
     pieces: list[str] = []
     piece_labels: list[str] = []
@@ -90,10 +98,11 @@ def featurize_sentence(
     for wi, (w, lab) in enumerate(zip(tokens, labels)):
         sw = subword_fn(w) or [unk]
         pieces.extend(sw)
-        piece_labels.extend([lab] + ["X"] * (len(sw) - 1))
+        cont = lab if xlnet else "X"
+        piece_labels.extend([lab] + [cont] * (len(sw) - 1))
         guards.extend([wi + 1] * len(sw))
 
-    body = max_seq_len - 2  # room for CLS/SEP
+    body = max_seq_len - (4 if xlnet else 2)  # room for the frame tokens
     chunks: list[tuple[list[str], list[str], list[int]]] = []
     i = 0
     while i < len(pieces):
@@ -110,22 +119,35 @@ def featurize_sentence(
 
     out = []
     for cid, (ps, ls, gs) in enumerate(chunks):
-        toks = [cls_tk] + ps + [sep_tk]
-        labs = ["CLS"] + ls + ["X"]
-        gds = [0] + gs + [0]
-        mask = [1] * len(toks)
-        n_pad = max_seq_len - len(toks)
-        toks += [pad_tk] * n_pad
-        labs += ["PAD"] * n_pad
-        gds += [0] * n_pad
-        mask += [0] * n_pad
+        if xlnet:
+            toks = ["<s>"] + ps + ["</s>", sep_tk, cls_tk]
+            labs = ["O"] + ls + ["O", "O", "O"]
+            gds = [0] + gs + [0, 0, 0]
+            mask = [1] * len(toks)
+            n_pad = max_seq_len - len(toks)
+            toks = [pad_tk] * n_pad + toks
+            labs = ["PAD"] * n_pad + labs
+            gds = [0] * n_pad + gds
+            mask = [0] * n_pad + mask
+            segs = [3] * n_pad + [0] * (max_seq_len - (n_pad + 1)) + [2]
+        else:
+            toks = [cls_tk] + ps + [sep_tk]
+            labs = ["CLS"] + ls + ["X"]
+            gds = [0] + gs + [0]
+            mask = [1] * len(toks)
+            n_pad = max_seq_len - len(toks)
+            toks += [pad_tk] * n_pad
+            labs += ["PAD"] * n_pad
+            gds += [0] * n_pad
+            mask += [0] * n_pad
+            segs = [0] * max_seq_len
         out.append(
             {
                 "chunk_id": cid,
                 "input_tokens": toks,
                 "input_ids": [vocab_fn(t) for t in toks],
                 "attention_mask": mask,
-                "token_type_ids": [0] * max_seq_len,
+                "token_type_ids": segs,
                 "label_ids": [label2idx.get(l, label2idx["O"]) for l in labs],
                 "guards": gds,
             }
@@ -225,6 +247,28 @@ def _idx2label_expr(idx2label: dict[int, str], id_col) -> "F.Column":
             continue
         expr = F.when(id_col == i, F.lit(lab)).otherwise(expr)
     return expr
+
+
+# segment-embedding (token_type_ids) consumers vs not — the reference's
+# per-family dispatch (data_utils.py:392-409, batch_to_model_inputs)
+_TYPE_ID_FAMILIES = frozenset(
+    {"bert", "megatron", "albert", "distilbert", "xlnet", "electra",
+     "deberta", "deberta-v2", "gatortron"}
+)
+_NO_TYPE_ID_FAMILIES = frozenset({"roberta", "bart", "longformer"})
+
+
+def model_inputs(features: DataFrame, model_type: str = "bert") -> DataFrame:
+    """P4: select exactly the feature columns a model family consumes
+    (data_utils.py:392-409): BERT-likes take token_type_ids, RoBERTa-likes
+    do not; unknown families raise like the reference.  Keys (url,
+    sent_id, chunk_id) and guards ride along for the realign join (J1)."""
+    base = ["url", "sent_id", "chunk_id", "input_ids", "attention_mask", "label_ids", "guards"]
+    if model_type in _TYPE_ID_FAMILIES:
+        return features.select(*base[:5], "token_type_ids", *base[5:])
+    if model_type in _NO_TYPE_ID_FAMILIES:
+        return features.select(*base)
+    raise RuntimeError(f"{model_type} is not a valid model type")
 
 
 # --------------------------------------------------------------------------

@@ -109,9 +109,14 @@ class HFModelTagger:
     ``auto=True`` loader sort, train_utils ner_data_loader), run through
     the model ``batch_size`` at a time, and restored to input order.
 
-    Alignment: for each word, the FIRST subword piece's argmax label is
+    Alignment: for each word, the FIRST subword piece's decoded label is
     taken (``word_ids()`` walk == the reference's ``prev_gd != gd`` guard
     walk, task.py:417-425); words truncated away by max_length get 'O'.
+
+    Decoding: argmax over logits by default (the reference's non-CRF
+    branch, task.py:392-394); pass ``crf_params`` (a kgce.crf.CRFParams
+    or an .npz path) to Viterbi-decode instead — the ``use_crf``
+    config branch (run_transformer_batch_prediction.py:43-45).
     """
 
     def __init__(
@@ -120,11 +125,32 @@ class HFModelTagger:
         batch_size: int = 16,
         max_length: int = 512,
         device: str | None = None,
+        crf_params=None,
     ):
         self.model_dir = model_dir
         self.batch_size = batch_size
         self.max_length = max_length
         self.device = device
+        self.crf_params = crf_params
+
+    def _decode_ids(self, logits_np, attn_np):
+        """(batch, len, tags) scores -> (batch, len) tag ids."""
+        import numpy as np
+
+        if self.crf_params is None:
+            return logits_np.argmax(-1)
+        from .crf import CRFParams, viterbi_decode
+
+        params = (
+            CRFParams.load(self.crf_params)
+            if isinstance(self.crf_params, str)
+            else self.crf_params
+        )
+        pred = np.zeros(logits_np.shape[:2], dtype=np.int64)
+        for row in range(logits_np.shape[0]):
+            n = int(attn_np[row].sum())
+            pred[row, :n] = viterbi_decode(logits_np[row, :n], params)
+        return pred
 
     def _load(self):
         key = ("model", self.model_dir, self.device)
@@ -162,7 +188,9 @@ class HFModelTagger:
             )
             with torch.no_grad():
                 logits = model(**{k: v.to(device) for k, v in enc.items()}).logits
-            pred = logits.argmax(-1).cpu().numpy()
+            pred = self._decode_ids(
+                logits.cpu().numpy(), enc["attention_mask"].numpy()
+            )
             for row, i in enumerate(idxs):
                 labels: list[str] = []
                 prev_wid = None

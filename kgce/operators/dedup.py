@@ -95,14 +95,17 @@ def minhash_band_buckets(
     """(doc_id, band_id, bucket) rows; near-dups share a bucket in >=1 band.
 
     ``hash_fn``:
-      * ``md5`` — minhash_i = lexicographic min of md5(i || ':' || shingle);
-        identical in Spark and DuckDB so the whole LSH pipeline is
-        oracle-checkable.  Cost: string aggregate buffers force
-        SortAggregate (full sort of every exploded shingle row).
-      * ``xx``  — minhash_i = min of xxhash64(shingle, seed=i); LONG
-        buffers keep the signature aggregation a HashAggregate — the
-        production path at 100 TB (no DuckDB twin; pytest-verified
-        equivalent pair recall instead).
+      * ``md5`` — minhash_i = numeric min of the first 15 hex chars (60
+        bits) of md5(i || ':' || shingle), identical in Spark
+        (``conv(substr(md5(..),1,15),16,10)``) and DuckDB
+        (``('0x'||substr(md5(..),1,15))::BIGINT``) so the whole LSH
+        pipeline is oracle-checkable.  LONG aggregate buffers keep the
+        signature aggregation a HashAggregate — minimizing over the full
+        32-char hex STRING instead would force SortAggregate (a full sort
+        of every exploded shingle row, the round-1 defect).
+      * ``xx``  — minhash_i = min of xxhash64(shingle, seed=i); one hash
+        instead of md5 + slice + parse — the production path at 100 TB
+        (no DuckDB twin; pytest-verified equivalent pair recall instead).
     """
     # explode shingles ONCE, then 8 min-aggregates in a single groupBy —
     # the projection-inlined alternative re-evaluates the (expensive)
@@ -135,7 +138,11 @@ def minhash_band_buckets(
         )
     sig = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
+                ).cast("long")
+            ).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -145,7 +152,13 @@ def minhash_band_buckets(
             F.struct(
                 F.lit(band).alias("band_id"),
                 F.md5(
-                    F.concat_ws("|", *[F.col(f"mh{band * rows + j}") for j in range(rows)])
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{band * rows + j}").cast("string")
+                            for j in range(rows)
+                        ],
+                    )
                 ).alias("bucket"),
             )
             for band in range(bands)

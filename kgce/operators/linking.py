@@ -150,6 +150,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             und.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
 
+    def _stats(df: DataFrame) -> tuple:
+        # order-independent fingerprint of the edge set: count + xor-hash
+        # (bit_xor, not sum — ANSI mode overflows on summed xxhash64)
+        return tuple(
+            df.agg(
+                F.count("*"),
+                F.coalesce(F.bit_xor(F.xxhash64("lo", "hi")), F.lit(0)),
+            ).collect()[0]
+        )
+
+    prev = _stats(e)
     converged = False
     for _ in range(max_iter):
         sym = _sym(e)
@@ -179,12 +190,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .distinct()
         )
         e2 = _checkpoint(e2)  # cut iterative lineage
-        # ONE action per round: symmetric difference probe (both inputs
-        # are checkpointed, so each side of the union is a cheap rescan)
-        converged = (
-            e2.exceptAll(e).unionByName(e.exceptAll(e2)).limit(1).count() == 0
-        )
-        e = e2
+        # ONE cheap action per round: the edge-set fingerprint (count +
+        # xor-hash) over the just-checkpointed blocks replaces the round-1
+        # double-exceptAll probe — star contraction is monotone, so an
+        # unchanged fingerprint across a round means fixpoint
+        cur = _stats(e2)
+        converged = cur == prev
+        prev, e = cur, e2
         if converged:
             break
     if not converged:

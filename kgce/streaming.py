@@ -46,3 +46,79 @@ def stream_mentions_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_mention_counts(
+    pages_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data handling: mention
+    counts per (entity type, warc_ts tumbling window).  The watermark
+    bounds state: crawl records later than ``watermark`` behind the max
+    seen event time are dropped, so state never grows with corpus size —
+    the 100-TB-stream requirement.  Works identically on a batch
+    DataFrame (watermark is a no-op there), which the test exploits for
+    stream==batch equivalence."""
+    from pyspark.sql import functions as F
+
+    mentions = tagging.extract_mentions_with_ts(pages_stream)
+    if mentions.isStreaming:
+        mentions = mentions.withWatermark("warc_ts", watermark)
+    return mentions.groupBy(
+        F.window("warc_ts", window).alias("w"), F.col("type")
+    ).agg(F.count("*").alias("n_mentions")).select(
+        F.col("w.start").alias("w_start"), "type", "n_mentions"
+    )
+
+
+# state schema for the stateful URL-dedup operator
+_SEEN_STATE = "n long"
+_DEDUP_OUT = "url string, text string"
+
+
+def dedup_stream_by_url(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): exactly-once
+    URL-level dedup across micro-batches — only the FIRST crawl of each
+    url passes through; re-crawls in later micro-batches are dropped.
+
+    State = one long per url key (times seen), persisted in the
+    streaming state store, so the dedup survives query restarts via the
+    checkpoint — the streaming analog of exact_dedup_groups.  The batch
+    fallback (non-streaming input) is dropDuplicates('url'), which the
+    stream==batch test exploits.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not pages_stream.isStreaming:
+        return pages_stream.select("url", "text").dropDuplicates(["url"])
+
+    def dedup_fn(key, pdfs, state):
+        import pandas as pd
+
+        url = key[0]
+        seen = state.get[0] if state.exists else 0
+        first = None
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if first is None and len(pdf):
+                first = pdf.iloc[:1][["url", "text"]]
+        state.update((seen + n,))
+        if seen == 0 and first is not None:
+            yield first
+        else:
+            yield pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                "text": pd.Series([], dtype="object")})
+
+    return (
+        pages_stream.select("url", "text")
+        .groupBy("url")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=_DEDUP_OUT,
+            stateStructType=_SEEN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -189,6 +189,47 @@ def extract_mentions(pages: DataFrame, tagger: str = "rule") -> DataFrame:
     return pages.select("url", "text").mapInPandas(mention_batches, schema=schemas.MENTIONS)
 
 
+def extract_mentions_with_ts(pages: DataFrame, tagger: str = "rule") -> DataFrame:
+    """extract_mentions + the page's ``warc_ts`` carried through the UDF —
+    event-time for streaming windowed aggregations (stateless per page,
+    so streaming-safe with a plain watermark)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        schemas.MENTIONS.fields + [T.StructField("warc_ts", T.TimestampType(), True)]
+    )
+
+    def mention_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import groupby
+
+        tag_fn = get_tagger(tagger)
+        for pdf in it:
+            ts_by_url = dict(zip(pdf["url"], pdf["warc_ts"]))
+            rows = {k: [] for k in ("url", "sent_id", "mention_id", "text",
+                                    "start", "end", "type", "warc_ts")}
+            tagged = _tagged_page_sentences(pdf, tag_fn)
+            for url, page in groupby(tagged, key=lambda t: t[0]):
+                page_ms = []
+                for _, sid, words, offs, labels in page:
+                    for sp in oracle.decode_spans_converter(words, offs, labels):
+                        page_ms.append((sid, sp.text, sp.char_s, sp.char_e, sp.etype))
+                page_ms.sort(key=lambda m: (m[2], m[3]))
+                for mid, (sid, mtext, ms, me, mt) in enumerate(page_ms, start=1):
+                    rows["url"].append(url)
+                    rows["sent_id"].append(sid)
+                    rows["mention_id"].append(mid)
+                    rows["text"].append(mtext)
+                    rows["start"].append(ms)
+                    rows["end"].append(me)
+                    rows["type"].append(mt)
+                    rows["warc_ts"].append(ts_by_url[url])
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "warc_ts", "text").mapInPandas(
+        mention_batches, schema=schema
+    )
+
+
 # --------------------------------------------------------------------------
 # pages -> scored mention pairs, fully fused (the 100-TB path)
 # --------------------------------------------------------------------------

@@ -57,3 +57,37 @@ def test_salted_repartition_spreads_hot_domain(spark):
 
     hot = skew.hot_keys(pages, skew.domain_of(F.col("url")), top_n=1).collect()
     assert hot[0].key == "hot.example" and hot[0].n == 900
+
+
+def test_biaffine_scores_matches_loop_contraction():
+    """numpy einsum twin == the explicit loop form of the reference layer
+    (model.py:52-75 einsum and :80+ loop variant are the same math)."""
+    import numpy as np
+
+    from kgce.operators.biaffine import biaffine_scores
+
+    rng = np.random.default_rng(42)
+    L, d, o = 5, 4, 3
+    x, y = rng.normal(size=(L, d)), rng.normal(size=(L, d))
+    U = rng.normal(size=(d + 1, o, d + 1))
+    got = biaffine_scores(x, y, U)
+    xb = np.concatenate([x, np.ones((L, 1))], -1)
+    yb = np.concatenate([y, np.ones((L, 1))], -1)
+    want = np.zeros((L, L, o))
+    for i in range(L):
+        for j in range(L):
+            for t in range(o):
+                want[i, j, t] = xb[i] @ U[:, t, :] @ yb[j]
+    assert np.allclose(got, want)
+    assert got.shape == (L, L, o)
+
+
+def test_span_matrix_argwhere_decode():
+    import numpy as np
+
+    from kgce.operators.biaffine import span_matrix_to_triples
+
+    m = np.zeros((4, 4), dtype=int)
+    m[0, 1] = 2
+    m[3, 3] = 1
+    assert sorted(span_matrix_to_triples(m)) == [(1, 3, 3), (2, 0, 1)]

@@ -37,3 +37,65 @@ def test_stream_equals_batch_and_resumes(spark, tmp_path):
         spark.createDataFrame(batch2, schema=schemas.PAGES)
     ).count()
     assert got2 == want1 + want2  # incremental, no reprocessing
+
+
+def test_windowed_mention_counts_stream_equals_batch(spark, tmp_path):
+    """Watermarked event-time windows: the streaming aggregate (complete
+    over availableNow) equals the same aggregation run in batch."""
+    in_dir = str(tmp_path / "win_in")
+    pages = synth.gen_pages(30, seed=61)
+    _write_pages(spark, in_dir, pages)
+
+    agg = streaming.windowed_mention_counts(streaming.stream_pages(spark, in_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w_start, r.type): r.n_mentions
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    want = {
+        (r.w_start, r.type): r.n_mentions
+        for r in streaming.windowed_mention_counts(
+            spark.createDataFrame(pages, schema=schemas.PAGES)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stateful_url_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: a url re-crawled in a LATER micro-batch is
+    dropped (state store remembers it); batch fallback agrees."""
+    in_dir = str(tmp_path / "dd_in")
+    first = synth.gen_pages(12, seed=71)
+    _write_pages(spark, in_dir, first)
+    # re-crawl: same urls again (newer text suffix), one genuinely new page
+    recrawl = [dict(p, text=p["text"] + " updated") for p in first[:6]]
+    fresh = [dict(p, url=p["url"] + "?new=1") for p in synth.gen_pages(1, seed=72)]
+    _write_pages(spark, in_dir, recrawl + fresh)
+
+    # maxFilesPerTrigger=1 forces multiple micro-batches within one run
+    stream = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming.dedup_stream_by_url(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_urls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.url for r in spark.sql("select url from dedup_urls").collect()]
+    assert len(got) == len(set(got))  # every url exactly once
+    all_pages = spark.createDataFrame(first + recrawl + fresh, schema=schemas.PAGES)
+    want = {r.url for r in streaming.dedup_stream_by_url(all_pages).collect()}
+    assert set(got) == want
