@@ -4,14 +4,14 @@
                       over sf0.001 documents-as-pages.
 ``queries()``       — one callable per implemented operator family from
                       SURVEY.md §2 (+ the training-data-pipeline ops).
-``oracle_sql()``    — DuckDB-equivalent ANSI SQL per query, including full
+``oracle_sql()``    — DuckDB-equivalent ANSI SQL for EVERY query — full
                       replicas of the fused pipeline (sentence-split CTE),
                       connected components (recursive min-label closure),
-                      md5-SimHash bit math and md5-lattice SRP-LSH.  Only
-                      bio_eval_full stays rows-only: its one-credit
-                      gold-consumption walk is not ANSI-SQL-expressible
-                      (pytest proves it against the reference-exact
-                      Python oracle instead).
+                      md5-SimHash bit math, md5-lattice SRP-LSH, the
+                      complete BioEval harness (incl. the one-credit
+                      gold-consumption walk as windows + joins), relation
+                      eval, and near-dup clustering.  No rows-only checks
+                      remain.
 
 Column names are aligned 1:1 between the Spark plans and the SQL.
 """
@@ -312,6 +312,41 @@ def q_fingerprints(spark, sf):
     return textstats.fingerprints(_t(spark, sf, "documents"))
 
 
+def q_token_percentiles(spark, sf):
+    """Exact interpolated percentiles of document word counts per corpus
+    language — the quality-distribution stat a training-data pipeline
+    cuts on (p50/p90/p99 length filters)."""
+    docs = _t(spark, sf, "documents")
+    n_words = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
+    return (
+        docs.select("lang", n_words.alias("n_words"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_words, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_words, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(n_words, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+def q_cube_orders(spark, sf):
+    """CUBE aggregation: order counts/revenue over every subset of
+    (status, order year) — grouping-sets coverage beyond the rollup."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .cube("o_orderstatus", "o_year")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias("year"),
+            "n",
+            "revenue",
+        )
+    )
+
+
 def q_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
@@ -447,6 +482,24 @@ def q_relation_eval(spark, sf):
     )
 
 
+def q_asof_last_event(spark, sf):
+    """As-of join: for each order, the customer's most recent event at or
+    before the order date (union + running last(ignorenulls) — one
+    shuffle, no range-join blowup); DuckDB twin is a native ASOF JOIN."""
+    from kgce.operators.temporal import asof_join
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = (
+        _t(spark, sf, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    j = asof_join(
+        o, ev, "o_custkey", "user_id", "o_orderdate", "ts", payload_cols=["event_id"]
+    )
+    return j.select("o_orderkey", F.col("event_id").alias("last_event_id"))
+
+
 def q_near_dup_groups(spark, sf):
     """Full near-dup clustering chain: MinHash-LSH candidates -> exact
     Jaccard verify -> connected components -> keeper per cluster, graded
@@ -492,10 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quality": q_token_quality,
         "langid_counts": q_langid_counts,
         "fingerprints": q_fingerprints,
+        "token_percentiles": q_token_percentiles,
+        "cube_orders": q_cube_orders,
         "cosine_topk": q_cosine_topk,
-        # full-pipeline + hash/graph ops (all DuckDB-oracled except
-        # bio_eval_full, whose one-credit walk is not ANSI-SQL-expressible
-        # — that one is pytest-proven against the reference-exact oracle)
+        # full-pipeline + hash/graph ops (every one DuckDB-oracled)
         "bio_eval_full": q_bio_eval_full,
         "pipeline_triples": q_pipeline_triples,
         "pipeline_triples_hybrid": q_pipeline_triples_hybrid,
@@ -503,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "near_dup_groups": q_near_dup_groups,
         "relation_eval": q_relation_eval,
+        "asof_last_event": q_asof_last_event,
         "ann_lsh_topk": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
     }
@@ -580,6 +634,140 @@ SELECT d.doc_id AS doc_id,
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 )
+
+def _bio_eval_sql() -> str:
+    """DuckDB replica of the FULL BioEval harness (q_bio_eval_full):
+    token BIO construction -> eval span scan (W3) -> strict equi-match
+    (J4) -> relax overlap + one-credit touching-gold consumption (J5/J6,
+    incl. the reference's strict-doesn't-consume and skipped-pred quirks)
+    -> per-cate + overall rollup with P/R/F.  Every step is windows +
+    joins, so the 'one-credit walk' is ANSI-SQL after all."""
+    from kgce.oracle import RULE_LEXICON
+
+    lex = ", ".join(f"'{w}'" for w in sorted(RULE_LEXICON))
+    ent = f"""
+      CASE WHEN regexp_full_match(tok, '[A-Z][a-zA-Z]*') OR tok IN ({lex}) THEN
+        CASE WHEN lower(substr(tok,1,1)) <= 'f' THEN 'per'
+             WHEN lower(substr(tok,1,1)) <= 'm' THEN 'loc'
+             WHEN lower(substr(tok,1,1)) <= 's' THEN 'org'
+             ELSE 'misc' END
+      END
+    """
+    span_scan = """
+      SELECT url, min(substr(lab, 3)) AS cate, min(pos) AS tok_s,
+             max(pos) + 1 AS tok_e, min_by(lab LIKE 'b-%', pos) AS starts_b
+      FROM (
+        SELECT url, pos, lab,
+               sum(CASE WHEN lab <> 'o' AND NOT (
+                     lab LIKE 'i-%' AND prev IS NOT NULL AND prev <> 'o'
+                     AND substr(prev, 3) = substr(lab, 3)
+                   ) THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY url ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                 AS span_id
+        FROM (
+          SELECT url, pos, lower({lab}) AS lab,
+                 lag(lower({lab})) OVER (PARTITION BY url ORDER BY pos) AS prev
+          FROM bio
+        )
+      ) WHERE lab <> 'o'
+      GROUP BY url, span_id
+    """
+    prf = """
+      round(CASE WHEN ({tp} + {fp}) > 0 AND gold_n > 0
+                  AND ({tp} * 1.0 / ({tp} + {fp}) + {tp} * 1.0 / gold_n) > 0
+            THEN 2 * ({tp} * 1.0 / ({tp} + {fp})) * ({tp} * 1.0 / gold_n)
+               / ({tp} * 1.0 / ({tp} + {fp}) + {tp} * 1.0 / gold_n)
+            ELSE 0.0 END, 6)
+    """
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS url,
+         unnest(string_split_regex(text, '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+  FROM documents
+),
+typed AS (
+  SELECT url, pos, tok, {ent} AS g_ent,
+         CASE WHEN length(tok) > 4 THEN {ent} END AS p_ent
+  FROM toks WHERE tok <> ''
+),
+bio AS (
+  SELECT url, pos,
+    CASE WHEN g_ent IS NULL THEN 'O'
+         WHEN lag(g_ent) OVER w IS NULL THEN 'B-'||g_ent
+         ELSE 'I-'||g_ent END AS gold_label,
+    CASE WHEN p_ent IS NULL THEN 'O'
+         WHEN lag(p_ent) OVER w2 IS NULL THEN 'B-'||p_ent
+         ELSE 'I-'||p_ent END AS pred_label
+  FROM typed
+  WINDOW w AS (PARTITION BY url ORDER BY pos), w2 AS (PARTITION BY url ORDER BY pos)
+),
+gs AS ({span_scan.format(lab="gold_label")}),
+ps AS ({span_scan.format(lab="pred_label")}),
+strict_hit AS (
+  SELECT p.url, p.cate, p.tok_s, p.tok_e FROM ps p
+  WHERE p.starts_b AND EXISTS (
+    SELECT 1 FROM gs g WHERE g.url = p.url AND g.cate = p.cate
+      AND g.tok_s = p.tok_s AND g.tok_e = p.tok_e AND g.starts_b)
+),
+non_strict AS (
+  SELECT p.url, p.cate, p.tok_s, p.tok_e FROM ps p
+  WHERE NOT (p.starts_b AND EXISTS (
+    SELECT 1 FROM gs g WHERE g.url = p.url AND g.cate = p.cate
+      AND g.tok_s = p.tok_s AND g.tok_e = p.tok_e AND g.starts_b))
+),
+per_pred AS (
+  SELECT p.url, p.cate, p.tok_s, p.tok_e,
+         coalesce(max(g.tok_s < p.tok_e AND p.tok_s < g.tok_e), false) AS relax_match,
+         min(g.tok_s) AS credit_gold
+  FROM non_strict p LEFT JOIN gs g
+    ON g.url = p.url AND g.cate = p.cate
+   AND g.tok_e >= p.tok_s AND g.tok_s <= p.tok_e  -- touching counts
+  GROUP BY p.url, p.cate, p.tok_s, p.tok_e
+),
+outcomes AS (
+  SELECT cate, 'strict' AS outcome FROM strict_hit
+  UNION ALL
+  SELECT cate, 'miss' FROM per_pred WHERE NOT relax_match
+  UNION ALL
+  SELECT cate, CASE WHEN rn = 1 THEN 'relax' ELSE 'skip' END FROM (
+    SELECT cate, row_number() OVER (PARTITION BY url, cate, credit_gold
+                                    ORDER BY tok_s, tok_e) AS rn
+    FROM per_pred WHERE relax_match
+  )
+),
+pred_counts AS (
+  SELECT cate,
+         sum(CASE WHEN outcome = 'strict' THEN 1 ELSE 0 END) AS strict_tp,
+         sum(CASE WHEN outcome IN ('relax','miss') THEN 1 ELSE 0 END) AS strict_fp,
+         sum(CASE WHEN outcome IN ('strict','relax') THEN 1 ELSE 0 END) AS relax_tp,
+         sum(CASE WHEN outcome = 'miss' THEN 1 ELSE 0 END) AS relax_fp
+  FROM outcomes GROUP BY cate
+),
+gold_counts AS (SELECT cate, count(*) AS gold_n FROM gs GROUP BY cate),
+per_cat AS (
+  SELECT coalesce(g.cate, p.cate) AS cate,
+         CAST(coalesce(gold_n, 0) AS BIGINT) AS gold_n,
+         CAST(coalesce(strict_tp, 0) AS BIGINT) AS strict_tp,
+         CAST(coalesce(strict_fp, 0) AS BIGINT) AS strict_fp,
+         CAST(coalesce(relax_tp, 0) AS BIGINT) AS relax_tp,
+         CAST(coalesce(relax_fp, 0) AS BIGINT) AS relax_fp
+  FROM gold_counts g FULL JOIN pred_counts p ON g.cate = p.cate
+),
+with_overall AS (
+  SELECT * FROM per_cat
+  UNION ALL
+  SELECT 'overall', CAST(sum(gold_n) AS BIGINT), CAST(sum(strict_tp) AS BIGINT),
+         CAST(sum(strict_fp) AS BIGINT), CAST(sum(relax_tp) AS BIGINT),
+         CAST(sum(relax_fp) AS BIGINT)
+  FROM per_cat
+)
+SELECT cate, gold_n, strict_tp, strict_fp, relax_tp, relax_fp,
+       {prf.format(tp="strict_tp", fp="strict_fp")} AS strict_f1,
+       {prf.format(tp="relax_tp", fp="relax_fp")} AS relax_f1
+FROM with_overall
+"""
+
 
 def _relation_eval_sql() -> str:
     """DuckDB replica of evaluation.evaluate_relations + _doc_prf_report
@@ -1051,6 +1239,19 @@ def oracle_sql() -> dict[str, str]:
                      s -> md5(s))) AS winnow_fp
             FROM documents
         """,
+        "token_percentiles": f"""
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(len({_WORDS}), 0.5), 6) AS p50,
+                   round(quantile_cont(len({_WORDS}), 0.9), 6) AS p90,
+                   round(quantile_cont(len({_WORDS}), 0.99), 6) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "cube_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS year,
+                   count(*) AS n, round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+        """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
             SELECT row_number() OVER (ORDER BY c DESC, vec_id) AS rank, vec_id FROM (
@@ -1061,10 +1262,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pipeline_triples": _fused_pipeline_sql(),
         "pipeline_triples_hybrid": _fused_pipeline_sql(),
+        "bio_eval_full": _bio_eval_sql(),
         "connected_components": _CC_SQL,
         "simhash_pairs": _simhash_md5_sql(max_hamming=8),
         "near_dup_groups": _NEAR_DUP_GROUPS_SQL,
         "relation_eval": _relation_eval_sql(),
+        "asof_last_event": """
+            WITH ev AS (
+              SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS event_id
+              FROM events GROUP BY user_id, ts
+            )
+            SELECT o_orderkey, e.event_id AS last_event_id
+            FROM orders o ASOF LEFT JOIN ev e
+              ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        """,
         "ann_lsh_topk": _ann_lsh_sql(k=20, n_planes=6, dim=64),
         "embedding_near_dups": _near_dup_emb_sql(threshold=0.3, n_planes=8, dim=64),
     }
