@@ -104,6 +104,77 @@ def decode_biaffine_spans(sentences: DataFrame, max_span: int = 6) -> DataFrame:
     )
 
 
+def featurize_biaffine_sentence(
+    tokens: list[str],
+    entities: list[tuple[str, str, tuple[int, int]]],
+    label2idx: dict[str, int],
+    max_seq_len: int = 64,
+    subword_fn=None,
+    specials: tuple[str, str, str] = ("[CLS]", "[SEP]", "[PAD]"),
+    vocab_fn=None,
+) -> dict:
+    """Training-side biaffine featurization (transformer_biaffine_ner/
+    data_utils.py:210-271): subword the words keeping a word->piece
+    mapping, frame CLS/SEP + pad, remap entity (text, type, (s, e))
+    WORD spans (e inclusive) to PIECE spans shifted +1 for CLS, then
+    build the (max_seq_len x max_seq_len) label matrix
+    (``labels[s, e] = type_id``) and the row-banded attention mask
+    matrix.  Matrices stay numpy — they never become Spark columns
+    (SURVEY §1.1)."""
+    import numpy as np
+
+    from ..featurize import _vocab_id, mock_subwords
+
+    subword_fn = subword_fn or mock_subwords
+    vocab_fn = vocab_fn or _vocab_id
+    cls_tk, sep_tk, pad_tk = specials
+
+    pieces: list[str] = []
+    sub_index: list[int] = []
+    mapping: list[list[int]] = []
+    for wi, w in enumerate(tokens):
+        sw = subword_fn(w) or ["[UNK]"]
+        mapping.append(list(range(len(pieces), len(pieces) + len(sw))))
+        pieces.extend(sw)
+        sub_index.extend([wi + 1] * len(sw))
+
+    framed = [cls_tk] + pieces + [sep_tk]
+    sub_index = [0] + sub_index + [0]
+    mask = [1] * len(framed)
+    n_pad = max_seq_len - len(framed)
+    if n_pad < 0:
+        raise ValueError(
+            f"sentence needs {len(framed)} pieces > max_seq_len={max_seq_len}; "
+            "the reference errors here too (its assert :240)"
+        )
+    framed += [pad_tk] * n_pad
+    sub_index += [0] * n_pad
+    mask += [0] * n_pad
+
+    new_entities = []
+    for text, ty, (s, e) in entities:
+        # +1 for the CLS insertion; e is word-INCLUSIVE (reference :252-255)
+        new_entities.append((ty, mapping[s][0] + 1, mapping[e][-1] + 1))
+
+    labels = np.zeros((max_seq_len, max_seq_len), dtype=int)
+    for ty, s, e in new_entities:
+        labels[s, e] = label2idx[ty]
+    n_live = sum(mask)
+    masks = np.zeros((max_seq_len, max_seq_len), dtype=int)
+    masks[:n_live, :] = np.array(mask)
+
+    return {
+        "input_tokens": framed,
+        "input_ids": [vocab_fn(t) for t in framed],
+        "attention_mask": mask,
+        "token_type_ids": [0] * max_seq_len,
+        "sub_index": sub_index,
+        "entities": new_entities,
+        "labels": labels,
+        "masks": masks,
+    }
+
+
 def spans_to_mentions(spans: DataFrame, sentences: DataFrame) -> DataFrame:
     """J3: token-index spans -> char offsets + surface text.
 

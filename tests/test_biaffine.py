@@ -91,3 +91,32 @@ def test_span_matrix_argwhere_decode():
     m[0, 1] = 2
     m[3, 3] = 1
     assert sorted(span_matrix_to_triples(m)) == [(1, 3, 3), (2, 0, 1)]
+
+
+def test_biaffine_featurize_label_matrix():
+    """data_utils.py:210-271 parity: piece remap +1 for CLS, inclusive
+    word-end -> last piece, banded mask matrix."""
+    import numpy as np
+
+    from kgce.featurize import build_label2idx
+    from kgce.operators.biaffine import featurize_biaffine_sentence
+
+    l2i = {"O": 0, "per": 1, "loc": 2}
+    toks = ["Intercontinental", "met", "Bob"]  # 16 chars -> 4 mock pieces
+    ents = [("Intercontinental", "per", (0, 0)), ("Bob", "loc", (2, 2))]
+    f = featurize_biaffine_sentence(toks, ents, l2i, max_seq_len=16)
+    assert f["input_tokens"][0] == "[CLS]"
+    # word 0 spans pieces 1..4 (CLS shift); its entity cell is (1, 4)
+    assert f["labels"][1, 4] == 1
+    # 'Bob' is one piece: mapping start == end
+    bob_first = f["sub_index"].index(3)
+    assert f["labels"][bob_first, bob_first] == 2
+    assert f["labels"].sum() == 3
+    n_live = sum(f["attention_mask"])
+    assert (f["masks"][:n_live] == np.array(f["attention_mask"])).all()
+    assert f["masks"][n_live:].sum() == 0
+    # too-long sentence raises like the reference assert
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        featurize_biaffine_sentence(["x" * 50] * 10, [], l2i, max_seq_len=8)
