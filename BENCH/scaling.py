@@ -127,6 +127,8 @@ pipeline (pages -> mention tagging in one narrow Arrow-UDF stage -> JVM
 pair generation -> partial-aggregated triple groupBy); its only wide
 shuffle is the 63k-key triple aggregation, so the scaling profile is
 CPU-dominated — the same profile a real cluster would see per-executor.
+
+Launch-mode + checkpoint-resume evidence: BENCH/SUBMIT.md.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
 

@@ -109,9 +109,15 @@ def run_checkpointed(
     )
     # aggregation + linking are global (cross-bucket) stages; their inputs
     # are the checkpointed outputs above, so a crash here re-reads parquet,
-    # not the raw corpus.
+    # not the raw corpus — and canonicalization (the expensive iterative
+    # LSH + connected-components job) is itself cached as a global stage,
+    # so a resumed run skips it entirely.
     trips = triples_ops.aggregate_triples(scored)
-    canon = linking.canonicalize(mentions, threshold=link_threshold)
+    canon = runner.run_global(
+        "canon",
+        lambda: linking.canonicalize(mentions, threshold=link_threshold),
+        config={"threshold": link_threshold},
+    )
     canon_map = canon.select("norm", "canonical_id")
     trips = (
         trips.withColumn("_sn", linking.normalize_text(F.col("subj_text")))

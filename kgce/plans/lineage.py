@@ -157,6 +157,45 @@ class StageRunner:
             )
         return self.spark.read.option("basePath", str(ddir)).parquet(str(ddir / "bucket=*"))
 
+    def run_global(
+        self,
+        stage: str,
+        build: Callable[[], DataFrame],
+        config: dict | None = None,
+    ) -> DataFrame:
+        """Cache a GLOBAL (non-bucketable) stage: compute once, land the
+        result as parquet, skip on resume — the reference's feature-cache
+        pattern (S7, transformer_biaffine_ner/data_utils.py:332-344)
+        applied to stages whose shuffle crosses any bucketing (e.g.
+        entity canonicalization: LSH pairs span buckets, so per-bucket
+        checkpointing would silently drop cross-bucket links).  Resume
+        granularity is all-or-nothing for such stages by construction.
+        """
+        root, ddir, mdir = self._paths(stage)
+        root.mkdir(parents=True, exist_ok=True)
+        cfg_file = root / "config.json"
+        cfg_json = json.dumps({"global": True, **(config or {})}, sort_keys=True)
+        if cfg_file.exists():
+            if cfg_file.read_text() != cfg_json:
+                raise StageConfigMismatch(
+                    f"stage '{stage}' resume config mismatch; clear {root} or fix config"
+                )
+        else:
+            cfg_file.write_text(cfg_json)
+        if (ddir / "_SUCCESS").exists():
+            return self.spark.read.parquet(str(ddir))
+        t0 = time.monotonic()
+        build().write.mode("overwrite").parquet(str(ddir))
+        out = self.spark.read.parquet(str(ddir))
+        n = out.count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self.spark.createDataFrame(
+            [(stage, -1, "", n, wall_ms, "done")],
+            "stage string, bucket int, input_hash string, row_count long, "
+            "wall_ms long, status string",
+        ).write.mode("append").parquet(str(mdir))
+        return out
+
     def manifest(self, stage: str) -> DataFrame:
         _, _, mdir = self._paths(stage)
         return self.spark.read.parquet(str(mdir))

@@ -111,3 +111,22 @@ def test_config_mismatch_refuses_resume(spark, tmp_path):
     runner.run("s", pages, tagging.extract_mentions, key="url", config={"v": 1})
     with pytest.raises(StageConfigMismatch):
         runner.run("s", pages, tagging.extract_mentions, key="url", config={"v": 2})
+
+
+def test_run_global_caches_and_resumes(spark, tmp_path):
+    runner = StageRunner(spark, str(tmp_path / "wd"), n_buckets=2)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+
+    out1 = runner.run_global("g", build, config={"x": 1})
+    assert len(calls) == 1 and out1.count() == 2
+    out2 = runner.run_global("g", build, config={"x": 1})
+    assert len(calls) == 1  # cached, build not re-invoked
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out1.collect()))
+    m = runner.manifest("g").collect()
+    assert m[0].bucket == -1 and m[0].row_count == 2
+    with pytest.raises(StageConfigMismatch):
+        runner.run_global("g", build, config={"x": 2})
