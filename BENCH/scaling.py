@@ -128,6 +128,20 @@ pair generation -> partial-aggregated triple groupBy); its only wide
 shuffle is the 63k-key triple aggregation, so the scaling profile is
 CPU-dominated — the same profile a real cluster would see per-executor.
 
+## Flagship-form comparison (same harness, quiet host, pinned; measured once)
+
+| form | T(local[2]) | T(local[8]) | efficiency | note |
+|---|---|---|---|---|
+| hybrid (Python tag, JVM pairs) | 44.9 s | 11.0 s | 1.019 | flagship |
+| fused (all-Python pairs)       | 69.5 s | 19.0 s | 0.914 | kept as graded twin |
+
+The hybrid form is ~1.7x faster in absolute wall time AND scales at
+least as well — the O(k²) pair loop moves from Python into
+whole-stage-codegen'd posexplode, so per-core work is smaller and the
+Python workers stay saturated with pure tagging.  Both forms stay graded
+queries (`pipeline_triples`, `pipeline_triples_hybrid`) against the same
+DuckDB oracle, so the equivalence is re-proven by the driver every round.
+
 Launch-mode + checkpoint-resume evidence: BENCH/SUBMIT.md.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)

@@ -57,18 +57,52 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold via shingle inverted index.
 
     Distributed shape: explode shingles (narrow), self-join on shingle
-    (one shuffle; stop-shingle skew handled by AQE), count common shingles
-    per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    (one shuffle), count common shingles per pair, then
+    |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_df`` is the 100-TB guard: a stop-shingle ("of the x") appearing
+    in k docs contributes k² rows to the self-join — one hot shingle can
+    pair a large fraction of the corpus.  With ``max_df`` set, shingles
+    whose document frequency exceeds it are dropped from CANDIDATE
+    generation and the surviving pairs are re-verified with EXACT Jaccard
+    over the full shingle sets (so reported values stay exact; only pairs
+    whose every common shingle is high-DF can be missed — by construction
+    near-dups share many low-DF shingles).  Default None keeps the fully
+    exact single-join form.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        idx = sh.join(rare, "shingle")  # pruned inverted index
+        a = idx.select(F.col("doc_id").alias("a"), "shingle")
+        b = idx.select(F.col("doc_id").alias("b"), "shingle")
+        cands = a.join(b, "shingle").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+        full = docs.select(
+            F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+        )
+        inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+        union = F.size(F.array_union("_sha", "_shb")).cast("double")
+        return (
+            cands.join(full.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha")), "a")
+            .join(full.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb")), "b")
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
     a = sh.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
     common = (
@@ -169,7 +203,9 @@ def minhash_band_buckets(
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, max_bucket_size: int | None = None, **kw
+) -> DataFrame:
     """Candidate near-dup pairs from shared LSH buckets (a < b).
 
     The band-bucket table is materialized (localCheckpoint) before the
@@ -177,8 +213,23 @@ def minhash_lsh_pairs(docs: DataFrame, **kw) -> DataFrame:
     this the whole shingle->minhash pipeline executes TWICE (verified in
     the round-1 live plan).  Post-checkpoint the join reads the tiny
     (doc_id, band_id, bucket) table from block storage on both sides.
+
+    ``max_bucket_size`` is the hot-bucket skew guard for 10^12-doc runs:
+    a degenerate bucket of k members (boilerplate pages, empty docs)
+    yields k²/2 candidate pairs in ONE task.  Buckets larger than the cap
+    are dropped from candidate generation — their members still pair via
+    their other (more selective) bands, which is where true near-dups
+    agree anyway.  Default None = exact oracle behavior.
     """
     bb = minhash_band_buckets(docs, **kw).localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        small = (
+            bb.groupBy("band_id", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band_id", "bucket")
+        )
+        bb = bb.join(small, ["band_id", "bucket"])
     x, y = bb.alias("x"), bb.alias("y")
     return (
         x.join(

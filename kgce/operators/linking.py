@@ -82,8 +82,17 @@ def candidate_pairs_lsh(
     signed: DataFrame,
     bands: int = DEFAULT_BANDS,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
-    """Pairs of entity keys sharing >=1 LSH band bucket (a < b)."""
+    """Pairs of entity keys sharing >=1 LSH band bucket (a < b).
+
+    ``max_bucket_size`` caps degenerate buckets (stop-word-like surface
+    forms — "Inc", single hot tokens — land millions of vocabulary
+    entries in one bucket at web scale, and a k-member bucket emits k²/2
+    pairs in one task).  Oversized buckets are dropped; genuinely similar
+    forms still pair through their other bands.  The SURVEY §7 hard-parts
+    list calls this the real-world hot spot.
+    """
     rows = num_hashes // bands
     band_cols = F.array(
         *[
@@ -94,6 +103,14 @@ def candidate_pairs_lsh(
     banded = signed.select(
         "entity_key", "norm", "shingles", F.explode(band_cols).alias("band")
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band")
+        )
+        banded = banded.join(small, "band")
     a = banded.select(
         F.col("band"),
         F.col("entity_key").alias("a"),

@@ -24,6 +24,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import oracle, schemas
 
@@ -187,6 +188,19 @@ def extract_mentions(pages: DataFrame, tagger: str = "rule") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return pages.select("url", "text").mapInPandas(mention_batches, schema=schemas.MENTIONS)
+
+
+def length_bucketed(sentences: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Length-bucketed inference batching (SURVEY §4): range-partition +
+    sort sentences by token count so every Arrow batch reaching the
+    inference UDF holds similar-length sentences — at a fixed model batch
+    size, padding waste is minimal (the reference's analog is its
+    ``auto=True`` DataLoader length sort).  Pure DataFrame ops
+    (repartitionByRange + sortWithinPartitions) — no custom rule, and the
+    range exchange replaces the round-robin one a plain repartition would
+    add, so it costs the same one shuffle it would anyway."""
+    n = F.size(F.col(tokens_col))
+    return sentences.repartitionByRange(n).sortWithinPartitions(n)
 
 
 def extract_mentions_with_ts(pages: DataFrame, tagger: str = "rule") -> DataFrame:

@@ -218,3 +218,34 @@ def test_media_sniff_pure_python_oracle():
     assert mm.sniff_media_meta(None)["mime"] is None
     png = mm.make_png(1, 2)
     assert mm.sniff_media_meta(png)["height"] == 2
+
+
+def test_ngram_jaccard_max_df_pruning_keeps_exact_values(spark):
+    """High-DF shingle pruning changes CANDIDATE generation only; the
+    reported jaccard of surviving pairs is exact (full-set verify)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (3, "completely different content about database systems and queries"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r.a, r.b): round(r.jaccard, 9)
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    pruned = {(r.a, r.b): round(r.jaccard, 9)
+              for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=3).collect()}
+    assert pruned == exact and (1, 2) in pruned
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate bucket (many identical docs) is dropped from candidate
+    generation when over the cap; distinct near-dups still pair."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    rows = [(i, "identical boilerplate page content repeated everywhere exactly") for i in range(30)]
+    rows += [(100, base), (101, base + "!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    capped = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(df, max_bucket_size=10).collect()}
+    # boilerplate all-pairs (435 pairs) vanish under the cap
+    assert sum(1 for a, b in uncapped if a < 30 and b < 30) == 435
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    assert (100, 101) in capped

@@ -104,3 +104,29 @@ def test_byte_identical_text_invariant(spark):
 
     for p in pages:
         assert got[p["url"]] == hashlib.sha256(p["text"].encode("utf-8")).hexdigest()
+
+
+def test_length_bucketing_contiguous_partitions(spark):
+    """After length_bucketed, token counts are sorted within partitions
+    and partition ranges don't interleave (range partitioning) — the
+    shape that minimizes padding waste for batched inference."""
+    from pyspark.sql import functions as F
+
+    from kgce import schemas, synth, tagging
+
+    pages = spark.createDataFrame(synth.gen_pages(60, seed=9), schema=schemas.PAGES)
+    sents = tagging.extract_sentences(pages)
+    bucketed = tagging.length_bucketed(sents)
+    rows = bucketed.select(
+        F.spark_partition_id().alias("pid"), F.size("tokens").alias("n")
+    ).collect()
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append(r.n)
+    # sorted within each partition
+    for v in by_pid.values():
+        assert v == sorted(v)
+    # partition ranges ordered by pid (range partitioner property)
+    pids = sorted(by_pid)
+    for a, b in zip(pids, pids[1:]):
+        assert max(by_pid[a]) <= min(by_pid[b]) + 1  # boundary keys may tie

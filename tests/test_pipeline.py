@@ -39,3 +39,25 @@ def test_pipeline_checkpointed_writes_graph(spark, tmp_path):
     assert m.filter(F.col("status") == "done").count() == 4
     m2 = spark.read.parquet(f"{wd}/scored_pairs/_manifest")
     assert m2.filter(F.col("status") == "done").count() == 4
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """K6 MERGE analog: updates replace matching keys, keep the rest,
+    and re-applying the same updates is a no-op (idempotent resume)."""
+    from kgce.plans.materialize import upsert_parquet
+
+    path = str(tmp_path / "nodes")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, n long"
+    )
+    upsert_parquet(base, path, ["id"])
+    upd = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "id long, name string, n long"
+    )
+    upsert_parquet(upd, path, ["id"])
+    got = {r.id: (r.name, r.n) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d", 40)}
+    # idempotent: same updates again -> identical table
+    upsert_parquet(upd, path, ["id"])
+    again = {r.id: (r.name, r.n) for r in spark.read.parquet(path).collect()}
+    assert again == got

@@ -66,6 +66,24 @@ def test_build_nodes_no_sort_aggregate(spark):
     assert "SortAggregate" not in plan
 
 
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must stay a union + ONE window shuffle — a rank- or
+    range-join formulation would explode pairs per key."""
+    from datetime import datetime
+
+    from kgce.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 9)], "k long, t timestamp, x long"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 7)], "k long, t timestamp, v long"
+    )
+    plan = _plan(asof_join(left, right, "k", "k", "t", "t", payload_cols=["v"]))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan  # no join operator at all — pure window
+
+
 def test_q1_prunes_and_pushes(spark):
     import __spark_entry__ as em
 
