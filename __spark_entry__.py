@@ -812,7 +812,8 @@ def _relation_eval_sql() -> str:
     """
     report = """
       SELECT '{lv}' AS level, 'micro' AS scope,
-             sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+             CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+             CAST(sum(fn) AS BIGINT) AS fn,
              round(CASE WHEN sum(tp) + sum(fp) > 0
                    THEN sum(tp) * 1.0 / (sum(tp) + sum(fp)) ELSE 0.0 END, 6) AS precision,
              round(CASE WHEN sum(tp) + sum(fn) > 0
@@ -826,7 +827,8 @@ def _relation_eval_sql() -> str:
                    ELSE 0.0 END, 6) AS f1
       FROM prff_{lv}
       UNION ALL
-      SELECT '{lv}', 'macro', sum(tp), sum(fp), sum(fn),
+      SELECT '{lv}', 'macro', CAST(sum(tp) AS BIGINT), CAST(sum(fp) AS BIGINT),
+             CAST(sum(fn) AS BIGINT),
              round(avg(pre), 6), round(avg(rec), 6), round(avg(f1), 6)
       FROM prff_{lv}
     """
