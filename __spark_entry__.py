@@ -582,10 +582,13 @@ _SW_FR = "'le','la','les','et','est','dans','pour','que','une','des'"
 
 
 def _minhash_cols(num_hashes: int = 8) -> str:
-    # numeric 60-bit minhash (first 15 md5 hex chars) — the long-buffered
-    # HashAggregate form; mirrors Spark conv(substr(md5(..),1,15),16,10)
+    # ONE md5 per shingle -> 32-bit base -> universal-hash family
+    # (a_i*b + c_i) % p, mirroring kgce.operators.dedup exactly
+    from kgce.operators.dedup import MH_A, MH_C, MH_P
+
+    base = "('0x'||substr(md5(s),1,8))::BIGINT"
     return ", ".join(
-        f"list_min(list_transform(sh, s -> ('0x'||substr(md5(concat('{i}:', s)),1,15))::BIGINT)) AS mh{i}"
+        f"list_min(list_transform(sh, s -> ({MH_A[i]} * {base} + {MH_C[i]}) % {MH_P})) AS mh{i}"
         for i in range(num_hashes)
     )
 

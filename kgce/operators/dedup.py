@@ -30,6 +30,14 @@ def normalize_doc(col) -> "F.Column":
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+# universal-hash family over one md5-derived 32-bit base: h_i = (a*b + c) % p.
+# a < 2^30 so a*b stays under 2^62 (ANSI-mode signed-64 safety); fixed odd
+# multipliers — identical literals in the DuckDB oracle SQL.
+MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MH_A = [769, 13337, 514229, 1000003, 29986577, 104395301, 512927357, 982451653]
+MH_C = [12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869]
+
+
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct content digest: keeper id + duplicate count."""
     return (
@@ -129,17 +137,16 @@ def minhash_band_buckets(
     """(doc_id, band_id, bucket) rows; near-dups share a bucket in >=1 band.
 
     ``hash_fn``:
-      * ``md5`` — minhash_i = numeric min of the first 15 hex chars (60
-        bits) of md5(i || ':' || shingle), identical in Spark
-        (``conv(substr(md5(..),1,15),16,10)``) and DuckDB
-        (``('0x'||substr(md5(..),1,15))::BIGINT``) so the whole LSH
-        pipeline is oracle-checkable.  LONG aggregate buffers keep the
-        signature aggregation a HashAggregate — minimizing over the full
-        32-char hex STRING instead would force SortAggregate (a full sort
-        of every exploded shingle row, the round-1 defect).
-      * ``xx``  — minhash_i = min of xxhash64(shingle, seed=i); one hash
-        instead of md5 + slice + parse — the production path at 100 TB
-        (no DuckDB twin; pytest-verified equivalent pair recall instead).
+      * ``md5`` — ONE md5 per shingle, parsed to a 32-bit base
+        (``conv(substr(md5(s),1,8),16,10)`` == DuckDB
+        ``('0x'||substr(md5(s),1,8))::BIGINT``), then the K hash family
+        derived by universal hashing ``(a_i * base + c_i) % p`` — 8x less
+        hashing than an md5 per family member, LONG aggregate buffers
+        (HashAggregate), and every bit reproducible in DuckDB.
+        ``a_i < 2^30`` keeps ``a_i * base`` under 2^62 (ANSI overflow).
+      * ``xx``  — minhash_i = min of xxhash64(shingle, seed=i) — the
+        production path at 100 TB (no DuckDB twin; pytest-verified
+        equivalent pair recall instead).
     """
     # explode shingles ONCE, then 8 min-aggregates in a single groupBy —
     # the projection-inlined alternative re-evaluates the (expensive)
@@ -170,12 +177,11 @@ def minhash_band_buckets(
         return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
             "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
         )
+    base = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 15), 16, 10
-                ).cast("long")
+                (F.lit(MH_A[i]) * base + F.lit(MH_C[i])) % F.lit(MH_P)
             ).alias(f"mh{i}")
             for i in range(num_hashes)
         ]

@@ -6,9 +6,8 @@ tests that need the real libraries importorskip them (they SKIP in this
 sandbox rather than stubbing)."""
 
 import pytest
-from pyspark.sql import functions as F
 
-from kgce import featurize, oracle, schemas, synth, tagging
+from kgce import featurize, schemas, synth, tagging
 from kgce.hf import HFTokenizerAdapter, MissingDependencyError
 from kgce.testing import FakeBatchTagger, FakeHFTokenizer
 
