@@ -142,16 +142,27 @@ def verified_edges(cands: DataFrame, threshold: float = 0.6) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """A10: alternating large-star/small-star until fixpoint.
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, small_graph_threshold: int = 1_000_000
+) -> DataFrame:
+    """A10: alternating large-star/small-star until fixpoint, with an
+    adaptive small-graph fast path.
 
     Input: undirected edges (a, b) over long node ids.
     Output: (node, component) with component = min node id in component.
-    Each iteration is two groupBy/shuffle rounds; a checkpoint cuts the
-    exponentially-growing lineage (the reference analog is its epoch-loop
-    checkpointing, task.py:135-151).  With a configured checkpoint dir the
-    cut is a RELIABLE checkpoint (executor loss cannot kill the truncated
-    lineage on a real cluster); otherwise localCheckpoint.
+
+    Adaptivity: after the (always needed) dedup + checkpoint of the edge
+    set, if the distinct edge count is <= ``small_graph_threshold`` the
+    components are computed by a driver-side union-find — at that size
+    the distributed loop is pure scheduling overhead (each round is 2
+    jobs over kilobytes).  Entity-linking edge sets over a VOCABULARY
+    shrink fast; production web-scale runs with billions of edges take
+    the iterative path: two groupBy/shuffle rounds per iteration, each
+    checkpointed to cut the exponentially-growing lineage (the reference
+    analog is its epoch-loop checkpointing, task.py:135-151).  With a
+    configured checkpoint dir the cut is RELIABLE (executor loss cannot
+    kill the truncated lineage); otherwise localCheckpoint.  Pass
+    ``small_graph_threshold=0`` to force the distributed loop.
     """
     # undirected edge set, canonical (small, large) orientation
     e = _checkpoint(
@@ -178,6 +189,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
 
     prev = _stats(e)
+    if small_graph_threshold and prev[0] <= small_graph_threshold:
+        return _cc_driver(e)
     converged = False
     for _ in range(max_iter):
         sym = _sym(e)
@@ -230,6 +243,31 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         "component", F.col("node")
     )
     return comp.unionByName(roots.join(comp, "node", "left_anti"))
+
+
+def _cc_driver(e: DataFrame) -> DataFrame:
+    """Small-graph fallback: collect the (deduped, checkpointed) edge
+    list and union-find on the driver — semantics identical to the star
+    loop (component = min node id), proven by the shared pytest oracle.
+    """
+    pairs = [(r.lo, r.hi) for r in e.collect()]
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for p in pairs for x in p}
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    return e.sparkSession.createDataFrame(rows or [], "node long, component long")
 
 
 def canonicalize(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:

@@ -3,6 +3,8 @@ MinHash-LSH clustering behavior on near-duplicate surface forms."""
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kgce.operators import linking
@@ -24,9 +26,10 @@ def _union_find(edges, nodes):
     return {n: find(n) for n in nodes}
 
 
-def test_connected_components_random_graphs(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])  # driver path / star loop
+def test_connected_components_random_graphs(spark, threshold):
     rng = random.Random(17)
-    for trial in range(3):
+    for trial in range(2):
         n = 200
         edges = [
             (rng.randrange(n), rng.randrange(n))
@@ -34,7 +37,12 @@ def test_connected_components_random_graphs(spark):
         ]
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, "a long, b long")
-        got = {r.node: r.component for r in linking.connected_components(df).collect()}
+        got = {
+            r.node: r.component
+            for r in linking.connected_components(
+                df, small_graph_threshold=threshold
+            ).collect()
+        }
         nodes = {x for e in edges for x in e}
         want = _union_find(edges, nodes)
         # every node in an edge gets the min-id of its component
@@ -51,7 +59,12 @@ def test_connected_components_chain_converges(spark):
     # large-star/small-star must converge in O(log n) rounds
     edges = [(i, i + 1) for i in range(300)]
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {r.node: r.component for r in linking.connected_components(df, max_iter=12).collect()}
+    got = {
+        r.node: r.component
+        for r in linking.connected_components(
+            df, max_iter=12, small_graph_threshold=0  # force the star loop
+        ).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == 301
 
