@@ -148,21 +148,24 @@ def minhash_band_buckets(
         production path at 100 TB (no DuckDB twin; pytest-verified
         equivalent pair recall instead).
     """
-    # explode shingles ONCE, then 8 min-aggregates in a single groupBy —
-    # the projection-inlined alternative re-evaluates the (expensive)
-    # shingle expression once per hash function and once per band branch
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
-    )
+    # the shingle array and the per-shingle base hash are materialized as
+    # COLUMNS once per row; the K family members are then cheap array
+    # transforms over that bound column — NO explode, NO shuffle, the
+    # whole signature computation is a narrow projection (round-1 used an
+    # explode + 8-way groupBy, i.e. a full shuffle of every shingle row)
     rows = num_hashes // bands
     if hash_fn == "xx":
         def _mh(i: int):
             # closure over the hash-family index (a defaulted lambda param
             # would silently bind the array index — CLAUDE.md pitfall)
-            return F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+            return F.array_min(
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
+            ).alias(f"mh{i}")
 
-        sig = ex.groupBy("doc_id").agg(*[_mh(i) for i in range(num_hashes)])
+        shingled = docs.select(
+            F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("_sh")
+        )
+        sig = shingled.select("doc_id", *[_mh(i) for i in range(num_hashes)])
         band_structs = F.array(
             *[
                 F.struct(
@@ -177,15 +180,22 @@ def minhash_band_buckets(
         return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
             "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bucket").alias("bucket")
         )
-    base = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MH_A[i]) * base + F.lit(MH_C[i])) % F.lit(MH_P)
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+    based = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            word_shingles(F.col(text_col), n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("_b"),
     )
+
+    def _mh_md5(i: int):
+        return F.array_min(
+            F.transform(
+                F.col("_b"), lambda b: (F.lit(MH_A[i]) * b + F.lit(MH_C[i])) % F.lit(MH_P)
+            )
+        ).alias(f"mh{i}")
+
+    sig = based.select("doc_id", *[_mh_md5(i) for i in range(num_hashes)])
     # all bands in one select + explode (no union of recomputed branches)
     band_structs = F.array(
         *[

@@ -38,13 +38,14 @@ def test_flagship_one_udf_one_shuffle(spark):
     assert plan.count("Exchange") == 1
 
 
-def test_minhash_signatures_hash_aggregate(spark):
-    # BOTH hash families use long aggregate buffers now (md5 minimizes a
-    # 60-bit numeric prefix instead of the 32-char hex string)
+def test_minhash_signatures_are_shuffle_free(spark):
+    # BOTH hash families compute signatures as per-row array transforms —
+    # no explode, no aggregate, no Exchange (round 1 shuffled every
+    # exploded shingle row through a SortAggregate)
     for hash_fn in ("xx", "md5"):
         plan = _plan(dedup.minhash_band_buckets(_docs(spark), hash_fn=hash_fn))
         assert "SortAggregate" not in plan, hash_fn
-        assert "HashAggregate" in plan, hash_fn
+        assert "Exchange" not in plan, hash_fn
 
 
 def test_lsh_pairs_joins_checkpointed_buckets(spark):
