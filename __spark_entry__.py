@@ -434,9 +434,14 @@ def q_simhash_pairs(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
+    """Emitted cosine is re-rounded to 4 decimals: Spark's left-fold dot
+    product and DuckDB's list_cosine_similarity sum in different orders,
+    so 6th-decimal divergence is possible on near-boundary values (seen
+    once at sf0.1); candidate selection still uses the full precision."""
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
-    return ann.cosine_topk_lsh(emb, qvec, k=20, plane_hash="md5")
+    top = ann.cosine_topk_lsh(emb, qvec, k=20, plane_hash="md5")
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def _doc_relations(docs, min_token_len: int = 0):
@@ -510,9 +515,11 @@ def q_near_dup_groups(spark, sf):
 
 
 def q_embedding_near_dups(spark, sf):
-    return ann.embedding_near_dup_pairs(
+    pairs = ann.embedding_near_dup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.3, dim=64, plane_hash="md5"
     )
+    # round-4 on the emitted value (see q_ann_lsh docstring)
+    return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1024,11 +1031,13 @@ def _ann_lsh_sql(k: int = 20, n_planes: int = 6, dim: int = 64) -> str:
     return f"""
 WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
 q AS (SELECT embedding AS e, bucket AS qb FROM bk WHERE vec_id = 0)
-SELECT vec_id,
-       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
-         AS cosine
-FROM bk WHERE bit_count(xor(bucket::BIGINT, (SELECT qb FROM q)::BIGINT)) <= 1
-ORDER BY cosine DESC, vec_id LIMIT {k}
+SELECT vec_id, round(cosine6, 4) AS cosine FROM (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e::DOUBLE[] FROM q)), 6)
+           AS cosine6
+  FROM bk WHERE bit_count(xor(bucket::BIGINT, (SELECT qb FROM q)::BIGINT)) <= 1
+  ORDER BY cosine6 DESC, vec_id LIMIT {k}
+)
 """
 
 
@@ -1036,12 +1045,12 @@ def _near_dup_emb_sql(threshold: float = 0.5, n_planes: int = 8, dim: int = 64) 
     bucket = _srp_bucket_sql(n_planes, dim)
     return f"""
 WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
-SELECT a, b, cosine FROM (
+SELECT a, b, round(cosine6, 4) AS cosine FROM (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
          round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6)
-           AS cosine
+           AS cosine6
   FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-) WHERE cosine >= {threshold}
+) WHERE cosine6 >= {threshold}
 """
 
 
