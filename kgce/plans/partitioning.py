@@ -1,0 +1,45 @@
+"""Adaptive minimum-parallelism guard for compute-heavy narrow stages.
+
+Problem shape: a small consolidated parquet file (one row group) scans
+as ONE input split, so every downstream narrow operator — shingling,
+MinHash signatures, regex tagging, Arrow-UDF inference — runs on one
+core no matter how many the session has.  At 100 TB the scan naturally
+yields thousands of ~128 MB splits and this guard is a metadata-only
+no-op; it exists for the small-corpus / consolidated-file regime (dim
+tables, sampled dev corpora, test fixtures), where one round-robin
+shuffle of a few MB buys full-cluster parallelism for the expensive
+projection above it.
+
+The check costs one physical-plan compile on the driver (no job): the
+split count is read from the planned RDD's metadata.  Streaming
+DataFrames are returned untouched (no RDD to inspect; micro-batch
+parallelism is governed by the source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to ``min_parts`` (default: the session's
+    ``defaultParallelism``) iff its planned partition count is lower.
+
+    Use at the INPUT of a compute-heavy narrow stage, never after wide
+    transforms (those already run at ``spark.sql.shuffle.partitions``).
+    Only order-insensitive downstreams qualify (hash/count/max
+    aggregates, per-row projections): a round-robin exchange reorders
+    rows, so floating-point SUM results may differ in the last ulp.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan not convertible (e.g. observe)
+        return df
+    if cur >= min_parts:
+        return df
+    return df.repartition(min_parts)
