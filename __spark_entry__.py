@@ -367,6 +367,19 @@ def q_cosine_topk(spark, sf):
     return top.select(F.row_number().over(w).alias("rank"), "vec_id")
 
 
+def q_ivf_topk(spark, sf):
+    """IVF coarse-quantizer ANN (the second scale path beside SRP-LSH):
+    plan-literal codebook -> nearest-centroid assignment as a narrow
+    projection -> probe the 4 nearest of 16 cells.  Rank-only output,
+    same emission discipline as cosine_topk (cross-engine float order).
+    """
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    top = ann.ivf_topk(emb, qvec, k=20, n_centroids=16, n_probe=4)
+    w = Window.orderBy(F.desc("cosine"), "vec_id")
+    return top.select(F.row_number().over(w).alias("rank"), "vec_id")
+
+
 # ---- non-SQL-expressible (rows-only checks; pytest carries the oracle) ----
 
 
@@ -567,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles": q_token_percentiles,
         "cube_orders": q_cube_orders,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         # full-pipeline + hash/graph ops (every one DuckDB-oracled)
         "bio_eval_full": q_bio_eval_full,
         "pipeline_triples": q_pipeline_triples,
@@ -1284,6 +1298,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id,
                      round(list_cosine_similarity(embedding, (SELECT e FROM q)), 6) AS c
               FROM embeddings
+            ) ORDER BY c DESC, vec_id LIMIT 20
+        """,
+        "ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+              FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            scored AS (
+              SELECT e.vec_id, c.cid,
+                     list_dot_product(e.embedding::DOUBLE[], c.cvec) / c.cnorm AS s
+              FROM embeddings e CROSS JOIN cents c
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT cid FROM scored WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 4
+            ),
+            q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+            SELECT row_number() OVER (ORDER BY c DESC, vec_id) AS rank, vec_id FROM (
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT e FROM q)), 6) AS c
+              FROM embeddings e JOIN assign a USING (vec_id)
+              WHERE a.cid IN (SELECT cid FROM probes)
             ) ORDER BY c DESC, vec_id LIMIT 20
         """,
         "pipeline_triples": _fused_pipeline_sql(),

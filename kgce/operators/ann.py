@@ -173,3 +173,139 @@ def embedding_near_dup_pairs(
         .select("a", "b", "cosine")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path beside SRP-LSH
+# ---------------------------------------------------------------------------
+
+
+def _py_dot(a, b) -> float:
+    """Strict left-to-right double fold — matches the JVM ``aggregate``
+    fold and DuckDB's list_dot_product loop ordering, so centroid /
+    probe selection agrees bit-for-bit across engines (numpy's BLAS
+    pairwise summation would not)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def seed_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer codebook: the ``n_centroids``
+    lowest-id vectors, collected to the driver (codebooks are tiny by
+    construction — a few hundred rows even at 10^9 vectors, so the
+    collect is the correct move, same as broadcasting a dim table).
+
+    Seeds-as-centroids keeps every engine reproducing the exact same
+    codebook from the data alone (the DuckDB oracle re-derives it with
+    ``ORDER BY vec_id LIMIT n``).  A production build would refine these
+    seeds with a few Lloyd iterations over a driver-side sample; the
+    assignment/probe machinery below is unchanged by better centroids.
+    """
+    rows = (
+        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r.i), [float(x) for x in r.v]) for r in rows]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "_cid",
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION — the codebook is
+    inlined as plan literals, so there is no join, no broadcast exchange,
+    no shuffle: a narrow scan at any scale.
+
+    Score = dot(v, c) / |c| (the vector's own norm is constant across
+    centroids, so argmax over cosine == argmax over this).  Tie-break:
+    smallest centroid id, via max over struct(score, -cid).
+    """
+    structs = []
+    for cid, cvec in centroids:
+        cn = _py_dot(cvec, cvec) ** 0.5
+        score = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec])) / F.lit(cn)
+        structs.append(F.struct(score.alias("s"), F.lit(-cid).alias("nid")))
+    best = F.array_max(F.array(*structs))
+    return embeddings.withColumn(out_col, (-best.getField("nid")).cast("int"))
+
+
+def _probe_ids(
+    query_vec: list[float], centroids: list[tuple[int, list[float]]], n_probe: int
+) -> list[int]:
+    """Top ``n_probe`` centroid ids for a query (driver-side, pure
+    Python fold — see _py_dot); ties broken by smaller cid."""
+    scored = sorted(
+        ((-(_py_dot(query_vec, cv) / (_py_dot(cv, cv) ** 0.5)), cid) for cid, cv in centroids)
+    )
+    return [cid for _, cid in scored[:n_probe]]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF top-k: assign every vector to its nearest centroid, scan only
+    the ``n_probe`` cells nearest the query.  Recall < 1.0 by
+    construction (like the SRP path); n_probe/n_centroids is the
+    scanned fraction.  For a STORED corpus use ivf_write_index /
+    ivf_topk_indexed, which turn the probe filter into parquet
+    partition pruning — the unscanned cells are never read at all.
+    """
+    if centroids is None:
+        centroids = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    probes = _probe_ids(query_vec, centroids, n_probe)
+    cand = ivf_assign(embeddings, centroids, vec_col).filter(F.col("_cid").isin(probes))
+    return cosine_topk(cand.drop("_cid"), query_vec, k, id_col, vec_col)
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: one parquet partition per cell
+    (``partitionBy(_cid)``).  Returns the codebook to pass to
+    ivf_topk_indexed.  At 100 TB this is the layout that makes ANN
+    cheap: a query touches n_probe directories, the rest of the corpus
+    is pruned at planning time (PartitionFilters, not a scan+filter)."""
+    cents = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    ivf_assign(embeddings, cents, vec_col).write.partitionBy("_cid").mode(
+        "overwrite"
+    ).parquet(path)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a stored IVF index — probe cells resolve to partition
+    directories (verify PartitionFilters in the plan)."""
+    probes = _probe_ids(query_vec, centroids, n_probe)
+    cand = spark.read.parquet(path).filter(F.col("_cid").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

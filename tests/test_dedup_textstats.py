@@ -249,3 +249,47 @@ def test_lsh_hot_bucket_cap(spark):
     assert sum(1 for a, b in uncapped if a < 30 and b < 30) == 435
     assert not any(a < 30 and b < 30 for a, b in capped)
     assert (100, 101) in capped
+
+
+def test_ivf_assign_matches_python_oracle(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ann.seed_centroids(emb, n_centroids=8)
+    got = {
+        r.vec_id: r._cid
+        for r in ann.ivf_assign(emb, cents).select("vec_id", "_cid").collect()
+    }
+    for r in emb.collect():
+        scores = [
+            (ann._py_dot(r.embedding, cv) / (ann._py_dot(cv, cv) ** 0.5), -cid)
+            for cid, cv in cents
+        ]
+        want = -max(scores)[1]  # max score, ties -> smallest cid
+        assert got[r.vec_id] == want, r.vec_id
+
+
+def test_ivf_topk_recall_and_self_hit(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    exact = {r.vec_id for r in ann.cosine_topk(emb, qvec, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in ann.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(exact & approx) >= 5  # 3/8 cells probed
+    assert 7 in approx  # the query vector's own cell is always probed
+
+
+def test_ivf_indexed_equals_unindexed_and_prunes(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0].embedding]
+    path = str(tmp_path / "ivf_index")
+    cents = ann.ivf_write_index(emb, path, n_centroids=8)
+    unindexed = ann.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=3).collect()
+    indexed = ann.ivf_topk_indexed(spark, path, qvec, cents, k=10, n_probe=3).collect()
+    assert [(r.vec_id, r.cosine) for r in indexed] == [
+        (r.vec_id, r.cosine) for r in unindexed
+    ]
+    # the probe filter must be PARTITION pruning, not a scan+filter
+    df = ann.ivf_topk_indexed(spark, path, qvec, cents, k=10, n_probe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_cid" in plan.split("PartitionFilters:")[1][:200]
