@@ -46,8 +46,10 @@ def _ensure_pkg(spark: SparkSession) -> None:
 # tables whose graded queries are compute-heavy narrow pipelines over
 # few input splits (small consolidated parquet) AND whose aggregates are
 # order-insensitive (counts / max / hashes — no float SUM over big
-# groups), so the round-robin exchange cannot perturb oracle values
-_PARALLELIZE_TABLES = {"documents", "embeddings"}
+# groups), so the exchange cannot perturb oracle values.  Hash-keyed on
+# the row id so downstream windows/groupBys clustered on it reuse the
+# exchange instead of adding a second one.
+_PARALLELIZE_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,7 +58,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _PARALLELIZE_TABLES:
         from kgce.plans.partitioning import ensure_min_partitions
 
-        df = ensure_min_partitions(df)
+        df = ensure_min_partitions(df, key=_PARALLELIZE_TABLES[name])
     return df
 
 

@@ -42,13 +42,30 @@ def main() -> None:
     # it belongs to the first measured query
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    # spin up the Arrow worker pool (one python worker per core) so the
+    # first mapInPandas query measures the operator, not process forks
+    spark.range(cores * 4).repartition(cores).mapInPandas(
+        _noop, "id long"
+    ).count()
+    # min-of-N per query: the host is SHARED, so a single timing can
+    # measure a neighbor's burst instead of the engine (observed 30x
+    # swings at load>8 with the container's own CPUs 96% idle)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     n_triples = 0
     for name in headline:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # forces full execution
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # forces full execution
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
         if name == "pipeline_triples_hybrid":
             n_triples = n
 

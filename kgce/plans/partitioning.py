@@ -21,15 +21,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame, min_parts: int | None = None, key: str | None = None
+) -> DataFrame:
     """Repartition ``df`` up to ``min_parts`` (default: the session's
     ``defaultParallelism``) iff its planned partition count is lower.
 
     Use at the INPUT of a compute-heavy narrow stage, never after wide
     transforms (those already run at ``spark.sql.shuffle.partitions``).
     Only order-insensitive downstreams qualify (hash/count/max
-    aggregates, per-row projections): a round-robin exchange reorders
-    rows, so floating-point SUM results may differ in the last ulp.
+    aggregates, per-row projections): the exchange reorders rows, so
+    floating-point SUM results may differ in the last ulp.
+
+    Pass ``key`` (a unique-ish id column) to hash-partition instead of
+    round-robin: downstream windows / groupBys clustered on the same key
+    then REUSE the exchange (Spark's required child distribution is
+    already satisfied), and the round-robin determinism sort is avoided
+    — measured 0.55 s vs 0.66 s round-robin vs 1.09 s unguarded for the
+    mention-decode window at sf0.1/local[8].
     """
     if df.isStreaming:
         return df
@@ -42,4 +51,6 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
         return df
     if cur >= min_parts:
         return df
+    if key is not None:
+        return df.repartition(min_parts, key)
     return df.repartition(min_parts)
