@@ -95,3 +95,46 @@ def test_q1_prunes_and_pushes(spark):
     read_schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
     assert read_schema.startswith("struct<l_quantity") and "l_comment" not in read_schema
     assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan)
+
+
+def test_bucketed_cojoin_is_exchange_free(spark, tmp_path):
+    """§2.3 at scale: two tables bucketed on the join key with equal
+    counts join with NO shuffle on either side — the write-time shuffle
+    is amortized across every later join."""
+    from kgce import tagging
+    from kgce.plans.bucketing import cojoin, write_bucketed
+
+    pages = _pages(spark, 30)
+    mentions = tagging.extract_mentions(pages)
+    write_bucketed(
+        pages.select("url", "text"), "bk_pages", "url", 4,
+        path=str(tmp_path / "bk_pages"),
+    )
+    write_bucketed(
+        mentions, "bk_mentions", "url", 4, path=str(tmp_path / "bk_mentions")
+    )
+    try:
+        j = cojoin(spark, "bk_mentions", "bk_pages", "url")
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # and the data actually round-trips
+        assert j.count() == mentions.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_pages")
+        spark.sql("DROP TABLE IF EXISTS bk_mentions")
+
+
+def test_ensure_min_partitions_adaptive(spark):
+    from kgce.plans.partitioning import ensure_min_partitions
+
+    one = spark.range(100).coalesce(1)
+    assert ensure_min_partitions(one, min_parts=4).rdd.getNumPartitions() == 4
+    # already parallel enough -> identity (no extra exchange at scale)
+    many = spark.range(100).repartition(8)
+    assert ensure_min_partitions(many, min_parts=4) is many
+    # keyed form hash-partitions (downstream groupBy/window reuse)
+    keyed = ensure_min_partitions(spark.range(50).coalesce(1), min_parts=4, key="id")
+    assert keyed.rdd.getNumPartitions() == 4
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id" in plan
