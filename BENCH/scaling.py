@@ -70,6 +70,7 @@ def run_at(cores: int, sf_dir: str, cpu_base: int = 16) -> dict:
     low-parallelism throughput and deflating measured scaling."""
     cpus = ",".join(str(cpu_base + i) for i in range(cores))
     env = dict(os.environ, KGCE_CORES=str(cores), SPARK_GRAFT_SF_DIR=sf_dir)
+    load1 = os.getloadavg()[0]
     out = subprocess.run(
         ["taskset", "-c", cpus, sys.executable, "-c", RUN_SNIPPET.format(repo=str(REPO))],
         env=env,
@@ -78,15 +79,27 @@ def run_at(cores: int, sf_dir: str, cpu_base: int = 16) -> dict:
         timeout=3000,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    return {**json.loads(line), "load1": round(load1, 2)}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_lo = int(os.environ.get("KGCE_N_LO", "2"))
     n_hi = int(os.environ.get("KGCE_N_HI", "8"))
-    lo = run_at(n_lo, sf_dir)
-    hi = run_at(n_hi, sf_dir)
+    # ALTERNATE the two levels over several JVM pairs and take the min
+    # per level: taskset isolates our own processes, but the kernel still
+    # schedules NEIGHBOR containers onto the pinned cpus, and a noise
+    # burst that lands inside one level's JVM (even with its internal
+    # min-of-3) would skew the ratio.  Interleaving gives both levels the
+    # same exposure to each noise window.
+    rounds = int(os.environ.get("KGCE_ROUNDS", "2"))
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(run_at(n_lo, sf_dir))
+        hi_runs.append(run_at(n_hi, sf_dir))
+    lo = min(lo_runs, key=lambda r: r["wall_sec"])
+    hi = min(hi_runs, key=lambda r: r["wall_sec"])
+    loads = [r["load1"] for r in lo_runs + hi_runs]
     eff = (lo["wall_sec"] / hi["wall_sec"]) / (n_hi / n_lo)
     result = {
         "sf_dir": sf_dir,
@@ -95,6 +108,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "meets_target": eff >= 0.8,
+        "rounds": rounds,
+        "load1_at_launches": loads,
     }
     print(json.dumps(result))
     md = f"""# BENCH/BASELINE — measured scaling evidence
@@ -106,8 +121,10 @@ aggregation) on `{sf_dir}` amplified ×64 deterministically
 pairs), same input at two parallelism levels, separate JVMs pinned with
 ``taskset`` to exactly N physical cpus each (without pinning, local[N]'s
 Arrow-pipelined Python+JVM overlap burns up to 2N cores and understates
-scaling), min of 3 timed runs per level, session warm-up and input
-materialization excluded from timing.
+scaling), min of 3 timed runs per JVM × {rounds} ALTERNATING JVM pairs
+per level (interleaving gives both levels the same exposure to neighbor
+noise windows), session warm-up and input materialization excluded from
+timing.  1-min load at the {2 * rounds} JVM launches: {loads}.
 
 | parallelism | wall (s) | triples/sec |
 |---|---|---|

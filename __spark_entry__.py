@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kgce.operators import ann, dedup, ruletag, textstats
+from kgce.operators import ann, dedup, packing, ruletag, sampling, textstats
 from kgce.operators import linking as linking_ops
 from kgce.operators import triples as triples_ops
 from kgce.operators.ruletag import mentions_sql
@@ -549,6 +549,27 @@ def q_embedding_near_dups(spark, sf):
     return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_sequence_packing(spark, sf):
+    """LLM concat-and-slice packing: distributed two-level prefix sum of
+    token counts in doc_id order -> per-doc chunk span at budget=512."""
+    return packing.pack_sequences(_t(spark, sf, "documents"), budget=512)
+
+
+def q_stratified_sample(spark, sf):
+    """Consistent per-language downsampling by md5 key-hash bucket —
+    reproduced value-for-value by the DuckDB oracle (same md5 math)."""
+    docs = _t(spark, sf, "documents")
+    out = sampling.stratified_hash_sample(
+        docs,
+        {"en": 0.5, "de": 0.25, "fr": 0.1},
+        strata_col="lang",
+        default_fraction=0.05,
+    )
+    return out.select(
+        "doc_id", "lang", sampling.hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline semantics (window decode, self-join, agg, eval joins)
@@ -580,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_counts": q_langid_counts,
         "fingerprints": q_fingerprints,
         "token_percentiles": q_token_percentiles,
+        "sequence_packing": q_sequence_packing,
+        "stratified_sample": q_stratified_sample,
         "cube_orders": q_cube_orders,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
@@ -1287,6 +1310,32 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(len({_WORDS}), 0.9), 6) AS p90,
                    round(quantile_cont(len({_WORDS}), 0.99), 6) AS p99
             FROM documents GROUP BY lang
+        """,
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_off
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_off,
+                   start_off // 512 AS chunk_first,
+                   (start_off + n_tokens - 1) // 512 AS chunk_last,
+                   (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_chunks
+            FROM o
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))::BIGINT
+                     % 1000000 AS bucket
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))::BIGINT
+                    % 1000000
+                  < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                              WHEN 'fr' THEN 100000 ELSE 50000 END
         """,
         "cube_orders": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,
