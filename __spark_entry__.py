@@ -549,6 +549,12 @@ def q_embedding_near_dups(spark, sf):
     return pairs.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition filters: dup-word/line fractions, top
+    n-gram character coverage — per-row JVM expressions, no shuffle."""
+    return textstats.repetition_signals(_t(spark, sf, "documents"))
+
+
 def q_sequence_packing(spark, sf):
     """LLM concat-and-slice packing: distributed two-level prefix sum of
     token counts in doc_id order -> per-doc chunk span at budget=512."""
@@ -601,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_counts": q_langid_counts,
         "fingerprints": q_fingerprints,
         "token_percentiles": q_token_percentiles,
+        "repetition_signals": q_repetition_signals,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "cube_orders": q_cube_orders,
@@ -1310,6 +1317,44 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(len({_WORDS}), 0.9), 6) AS p90,
                    round(quantile_cont(len({_WORDS}), 0.99), 6) AS p99
             FROM documents GROUP BY lang
+        """,
+        "repetition_signals": f"""
+            WITH t AS (
+              SELECT doc_id, {_WORDS} AS w, string_split(text, chr(10)) AS lines
+              FROM documents
+            ), g AS (
+              SELECT doc_id, w, lines,
+                list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                               i -> array_to_string(list_slice(w, i, i + 1), ' ')) AS g2,
+                list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                               i2 -> array_to_string(list_slice(w, i2, i2 + 2), ' ')) AS g3
+              FROM t
+            ), c AS (
+              SELECT doc_id, w, lines, g2, g3,
+                list_transform(g2, a -> len(list_filter(g2, b -> b = a))) AS c2,
+                list_transform(g3, a2 -> len(list_filter(g3, b2 -> b2 = a2))) AS c3
+              FROM g
+            ), m AS (
+              -- row-level maxima, computed ONCE per row (referencing
+              -- list_max(c2) inside a per-element lambda is O(k^3))
+              SELECT *, list_max(c2) AS m2, list_max(c3) AS m3 FROM c
+            )
+            SELECT doc_id,
+              round(1.0 - len(list_distinct(w)) * 1.0 / greatest(len(w), 1), 6)
+                AS dup_word_fraction,
+              round(1.0 - len(list_distinct(lines)) * 1.0 / greatest(len(lines), 1), 6)
+                AS dup_line_fraction,
+              round(list_max(list_transform(range(1, len(g2) + 1),
+                      j -> CASE WHEN c2[j] = m2
+                                THEN c2[j] * length(replace(g2[j], ' ', '')) ELSE 0 END))
+                    * 1.0 / greatest(length(array_to_string(w, '')), 1), 6)
+                AS top2gram_cover,
+              round(list_max(list_transform(range(1, len(g3) + 1),
+                      j2 -> CASE WHEN c3[j2] = m3
+                                 THEN c3[j2] * length(replace(g3[j2], ' ', '')) ELSE 0 END))
+                    * 1.0 / greatest(length(array_to_string(w, '')), 1), 6)
+                AS top3gram_cover
+            FROM m
         """,
         "sequence_packing": f"""
             WITH t AS (

@@ -99,6 +99,21 @@ def hf_tokenizer_loader(name_or_dir: str) -> Callable[[], HFTokenizerAdapter]:
 # --------------------------------------------------------------------------
 
 
+def first_piece_labels(word_ids, pred_row, id2label, n_words: int) -> list[str]:
+    """word-level labels from piece-level predictions: each word takes its
+    FIRST piece's decoded label (the reference's ``prev_gd != gd`` guard
+    walk, task.py:417-425).  Keyed by word id, not appended sequentially:
+    a word the tokenizer maps to ZERO pieces (exotic whitespace, some
+    normalizers) or one truncated away by max_length yields 'O' for
+    ITSELF without shifting any later word's label."""
+    by_wid: dict[int, str] = {}
+    for pos, wid in enumerate(word_ids):
+        if wid is None or wid in by_wid:
+            continue  # special/pad token or non-first piece
+        by_wid[wid] = str(id2label.get(int(pred_row[pos]), "O"))
+    return [by_wid.get(k, "O") for k in range(n_words)]
+
+
 class HFModelTagger:
     """Token-classification inference as a TagFn.
 
@@ -192,13 +207,10 @@ class HFModelTagger:
                 logits.cpu().numpy(), enc["attention_mask"].numpy()
             )
             for row, i in enumerate(idxs):
-                labels: list[str] = []
-                prev_wid = None
-                for pos, wid in enumerate(enc.word_ids(batch_index=row)):
-                    if wid is None or wid == prev_wid:
-                        continue  # special/pad token or non-first piece
-                    labels.append(str(id2label.get(int(pred[row][pos]), "O")))
-                    prev_wid = wid
-                labels += ["O"] * (len(sentences[i]) - len(labels))
-                out[i] = labels
+                out[i] = first_piece_labels(
+                    enc.word_ids(batch_index=row),
+                    pred[row],
+                    id2label,
+                    len(sentences[i]),
+                )
         return out  # type: ignore[return-value]

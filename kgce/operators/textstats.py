@@ -98,6 +98,100 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _grams(words, n: int):
+    """Word n-grams WITH duplicates (unlike dedup.word_shingles) — the
+    repetition signals need occurrence counts."""
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+def _top_gram_cover(words, n: int):
+    """Fraction of word characters covered by the most frequent n-gram
+    (count x gram char-length / total word chars) — the Gopher/Dolma
+    repetition heuristic.  Ties on count break to the longer gram."""
+    grams = _grams(words, n)
+    counts = F.transform(grams, lambda g: F.size(F.filter(grams, lambda y: y == g)))
+    # ONE array_max over (count, charlen) structs: lexicographic struct
+    # ordering = most frequent gram, ties to the longest.  (Referencing a
+    # precomputed array_max(counts) INSIDE a per-element lambda re-evaluates
+    # the O(k^2) counts array per element -> O(k^3) per row; this stays k^2.)
+    best = F.array_max(
+        F.zip_with(
+            grams,
+            counts,
+            lambda g, c: F.struct(
+                c.alias("c"), F.length(F.regexp_replace(g, " ", "")).alias("l")
+            ),
+        )
+    )
+    total = F.greatest(F.length(F.array_join(words, "")), F.lit(1))
+    return best["c"] * best["l"] / total
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Published repetition-based quality filters (Gopher §A1.1 rules as
+    popularized by Dolma/RedPajama): duplicate-word and duplicate-line
+    fractions plus top-2/3-gram character coverage.
+
+    Scale shape: every signal is a per-row JVM column expression — a
+    narrow map, no shuffle, filter-pushdown-friendly.  The n-gram count
+    is O(k^2) in words-per-doc; documents are bounded by the upstream
+    length filter (quality_scores' 5000-word band), so the per-row cost
+    is capped and embarrassingly parallel.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    lines = F.split(text, "\n")
+    dup_words = F.lit(1.0) - F.size(F.array_distinct(words)) / F.greatest(
+        F.size(words), F.lit(1)
+    )
+    dup_lines = F.lit(1.0) - F.size(F.array_distinct(lines)) / F.greatest(
+        F.size(lines), F.lit(1)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(dup_words, 6).alias("dup_word_fraction"),
+        F.round(dup_lines, 6).alias("dup_line_fraction"),
+        F.round(_top_gram_cover(words, 2), 6).alias("top2gram_cover"),
+        F.round(_top_gram_cover(words, 3), 6).alias("top3gram_cover"),
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word: float = 0.85,
+    max_dup_line: float = 0.30,
+    max_top2gram: float = 0.20,
+    max_top3gram: float = 0.18,
+) -> DataFrame:
+    """Keep documents passing the repetition thresholds (Gopher defaults
+    adapted); returns the surviving input rows unchanged.  A pure narrow
+    filter — the signals are recomputed inline, NOT joined back (a
+    per-doc join side is corpus-sized and never broadcastable)."""
+    text = F.col(text_col)
+    words = _words(text)
+    lines = F.split(text, "\n")
+    dup_words = F.lit(1.0) - F.size(F.array_distinct(words)) / F.greatest(
+        F.size(words), F.lit(1)
+    )
+    dup_lines = F.lit(1.0) - F.size(F.array_distinct(lines)) / F.greatest(
+        F.size(lines), F.lit(1)
+    )
+    return docs.filter(
+        (dup_words <= max_dup_word)
+        & (dup_lines <= max_dup_line)
+        & (_top_gram_cover(words, 2) <= max_top2gram)
+        & (_top_gram_cover(words, 3) <= max_top3gram)
+    )
+
+
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: min digest over word 5-grams
     (robust to local edits, unlike whole-document md5)."""

@@ -293,3 +293,37 @@ def test_ivf_indexed_equals_unindexed_and_prunes(spark, tmp_path):
     df = ann.ivf_topk_indexed(spark, path, qvec, cents, k=10, n_probe=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "_cid" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_repetition_signals_hand_computed(spark):
+    rows = [
+        # "a b a b": words=4, distinct=2 -> dup_word 0.5;
+        # 2-grams: [a b, b a, a b] -> top count 2, gram chars 2, total chars 4
+        # -> top2 cover = 2*2/4 = 1.0
+        (1, "a b a b"),
+        # all-distinct words, no repeated grams: top2 = 1*2/4 (ties -> len 2)
+        (2, "x y z w"),
+        # duplicate lines
+        (3, "hello world\nhello world\nbye"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.repetition_signals(df).collect()}
+    assert got[1].dup_word_fraction == 0.5
+    assert got[1].top2gram_cover == 1.0
+    assert got[2].dup_word_fraction == 0.0
+    assert got[2].top2gram_cover == 0.5  # 1 occurrence * 2 chars / 4 chars
+    assert got[3].dup_line_fraction == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_repetition_filter_drops_degenerate(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),  # dup_word 7/8
+        # long enough that a single-occurrence top gram is a small char
+        # fraction (short docs legitimately fail the coverage thresholds)
+        (2, "a perfectly normal sentence with varied vocabulary where every "
+            "single word appears exactly once and nothing repeats because "
+            "the author kept finding fresh terms for each successive clause"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = [r.doc_id for r in textstats.repetition_filter(df).collect()]
+    assert kept == [2]

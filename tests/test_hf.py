@@ -137,3 +137,19 @@ def test_real_hf_model_tagger_interface():
     t = tagging.get_tagger("model", model_dir=model_dir)
     labels = t(["Barack", "Obama", "visited", "Paris"])
     assert len(labels) == 4 and all(isinstance(l, str) for l in labels)
+
+
+def test_first_piece_labels_alignment():
+    """The word_ids walk must survive zero-piece words and truncation
+    without shifting later labels (torch-free: pure-Python walk)."""
+    from kgce.hf import first_piece_labels
+
+    id2label = {0: "O", 1: "B-per", 2: "I-per"}
+    # sentence of 4 words; word 1 produced ZERO pieces; word 3 truncated
+    word_ids = [None, 0, 0, 2, None]  # CLS, w0 (2 pieces), w2, SEP
+    pred_row = [9, 1, 2, 1, 9]
+    got = first_piece_labels(word_ids, pred_row, id2label, n_words=4)
+    assert got == ["B-per", "O", "B-per", "O"]
+    # contiguous normal case: first piece wins, later pieces ignored
+    got = first_piece_labels([None, 0, 1, 1, None], [9, 1, 2, 1, 9], id2label, 2)
+    assert got == ["B-per", "I-per"]
