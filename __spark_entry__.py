@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kgce.operators import ann, dedup, packing, ruletag, sampling, textstats
+from kgce.operators import ann, dedup, packing, pii, ruletag, sampling, textstats
 from kgce.operators import linking as linking_ops
 from kgce.operators import triples as triples_ops
 from kgce.operators.ruletag import mentions_sql
@@ -555,6 +555,47 @@ def q_repetition_signals(spark, sf):
     return textstats.repetition_signals(_t(spark, sf, "documents"))
 
 
+def _pii_augmented(docs):
+    """Documents with deterministic synthetic PII appended (the corpus
+    itself is word-soup with no PII): an email + an IPv4 per doc, a
+    dashed phone for every third doc — identical construction in the
+    DuckDB oracle, so detection/redaction are value-checked on
+    non-trivial matches."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com from 10.0."),
+            F.pmod(did, F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(did, F.lit(200)).cast("string"),
+            F.when(
+                F.pmod(did, F.lit(3)) == 0,
+                F.concat(
+                    F.lit(" call 25-989-741-"),
+                    F.lpad(F.pmod(did, F.lit(10000)).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("_aug"),
+    )
+
+
+def q_pii_redaction(spark, sf):
+    """PII scrub: per-doc match counts + md5 of the redacted text."""
+    a = _pii_augmented(_t(spark, sf, "documents"))
+    return a.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col("_aug"), F.lit(pat)).alias(f"n_{name}")
+            for name, (pat, _) in pii.PII_PATTERNS.items()
+        ],
+        F.md5(pii.redact_text(F.col("_aug"))).alias("redacted_md5"),
+    )
+
+
 def q_sequence_packing(spark, sf):
     """LLM concat-and-slice packing: distributed two-level prefix sum of
     token counts in doc_id order -> per-doc chunk span at budget=512."""
@@ -608,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "token_percentiles": q_token_percentiles,
         "repetition_signals": q_repetition_signals,
+        "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
         "stratified_sample": q_stratified_sample,
         "cube_orders": q_cube_orders,
@@ -640,6 +682,35 @@ _SHINGLES = (
     f"list_distinct(list_transform(range(1, greatest(len({_WORDS}) - 2, 1) + 1), "
     f"i -> array_to_string(list_slice({_WORDS}, i, i + 2), ' ')))"
 )
+
+# PII oracle — regexes injected via .replace() (f-strings would parse the
+# bounded-repetition braces as format specs); DuckDB standard strings keep
+# backslashes literal, matching the Java-side pattern byte-for-byte.
+_PII_SQL = """
+    WITH a AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 200 AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' call 25-989-741-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS aug
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(aug, 'EMAILPAT', 0)) AS n_email,
+           len(regexp_extract_all(aug, 'IPV4PAT', 0)) AS n_ipv4,
+           len(regexp_extract_all(aug, 'PHONEPAT', 0)) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                 'EMAILPAT', '[EMAIL]', 'g'),
+                 'IPV4PAT', '[IP]', 'g'),
+                 'PHONEPAT', '[PHONE]', 'g')) AS redacted_md5
+    FROM a
+""".replace("EMAILPAT", pii.PII_PATTERNS["email"][0]).replace(
+    "IPV4PAT", pii.PII_PATTERNS["ipv4"][0]
+).replace("PHONEPAT", pii.PII_PATTERNS["phone"][0])
 
 _SW_EN = "'the','and','of','to','in','is','that','with','for','was'"
 _SW_DE = "'der','die','das','und','ist','nicht','mit','ein','von','zu'"
@@ -1318,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(len({_WORDS}), 0.99), 6) AS p99
             FROM documents GROUP BY lang
         """,
+        "pii_redaction": _PII_SQL,
         "repetition_signals": f"""
             WITH t AS (
               SELECT doc_id, {_WORDS} AS w, string_split(text, chr(10)) AS lines
