@@ -56,16 +56,23 @@ def token_offsets(
         F.col(weight_col) if weight_col else F.size(_words(F.col(text_col)))
     ).cast("long")
     lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
-    d = docs.select(
+    # narrow base WITHOUT the text column (3 longs per doc), persisted:
+    # the DAG forks below (window branch + totals branch), and an
+    # unmaterialized fork re-scans and re-tokenizes the full corpus —
+    # the verified plan showed 2 FileScans.  Caching ~24 bytes/doc turns
+    # that into ONE scan of the (100 TB) text and keeps every later pass
+    # on the tiny frame; persist (not localCheckpoint) keeps lineage for
+    # fault-tolerant recompute on a real cluster.
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         weight.alias("n_tokens"),
         _range_bucket(id_col, lo, hi, n_buckets).alias("_pb"),
-    )
+    ).persist()
     local = Window.partitionBy("_pb").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    d = d.withColumn("_local", F.coalesce(F.sum("n_tokens").over(local), F.lit(0)))
-    totals = d.groupBy("_pb").agg(F.sum("n_tokens").alias("_tot"))
+    d = base.withColumn("_local", F.coalesce(F.sum("n_tokens").over(local), F.lit(0)))
+    totals = base.groupBy("_pb").agg(F.sum("n_tokens").alias("_tot"))
     base_w = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
     bases = totals.withColumn("_base", F.coalesce(F.sum("_tot").over(base_w), F.lit(0))).select(
         "_pb", "_base"
