@@ -154,18 +154,31 @@ def minhash_band_buckets(
     # whole signature computation is a narrow projection (round-1 used an
     # explode + 8-way groupBy, i.e. a full shuffle of every shingle row)
     rows = num_hashes // bands
+    # Both paths fold ALL hash families in ONE F.aggregate pass with a
+    # struct accumulator: K separate array_min(transform(...)) columns
+    # each materialize an intermediate array per row — measured 3.7 s of
+    # the md5 path's 5 s at sf0.1.  The accumulator struct lands in its
+    # own projection so the fold is evaluated once, not once per field.
     if hash_fn == "xx":
-        def _mh(i: int):
-            # closure over the hash-family index (a defaulted lambda param
-            # would silently bind the array index — CLAUDE.md pitfall)
-            return F.array_min(
-                F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
-            ).alias(f"mh{i}")
-
         shingled = docs.select(
             F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("_sh")
         )
-        sig = shingled.select("doc_id", *[_mh(i) for i in range(num_hashes)])
+        zero = F.struct(
+            *[F.lit(2**63 - 1).alias(f"m{i}") for i in range(num_hashes)]
+        )
+        acc = F.aggregate(
+            F.col("_sh"),
+            zero,
+            lambda a, s: F.struct(
+                *[
+                    F.least(a[f"m{i}"], F.xxhash64(s, F.lit(i))).alias(f"m{i}")
+                    for i in range(num_hashes)
+                ]
+            ),
+        )
+        sig = shingled.select("doc_id", acc.alias("_acc")).select(
+            "doc_id", *[F.col("_acc").getField(f"m{i}").alias(f"mh{i}") for i in range(num_hashes)]
+        )
         band_structs = F.array(
             *[
                 F.struct(
@@ -187,15 +200,24 @@ def minhash_band_buckets(
             lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
         ).alias("_b"),
     )
-
-    def _mh_md5(i: int):
-        return F.array_min(
-            F.transform(
-                F.col("_b"), lambda b: (F.lit(MH_A[i]) * b + F.lit(MH_C[i])) % F.lit(MH_P)
-            )
-        ).alias(f"mh{i}")
-
-    sig = based.select("doc_id", *[_mh_md5(i) for i in range(num_hashes)])
+    zero = F.struct(
+        *[F.lit(MH_P).cast("long").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    acc = F.aggregate(
+        F.col("_b"),
+        zero,
+        lambda a, b: F.struct(
+            *[
+                F.least(
+                    a[f"m{i}"], (F.lit(MH_A[i]) * b + F.lit(MH_C[i])) % F.lit(MH_P)
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    sig = based.select("doc_id", acc.alias("_acc")).select(
+        "doc_id", *[F.col("_acc").getField(f"m{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
     # all bands in one select + explode (no union of recomputed branches)
     band_structs = F.array(
         *[
