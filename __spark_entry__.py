@@ -602,6 +602,13 @@ def q_sequence_packing(spark, sf):
     return packing.pack_sequences(_t(spark, sf, "documents"), budget=512)
 
 
+def q_chunk_slices(spark, sf):
+    """Loader work items: (chunk, doc, token-slice) explode of the
+    packing — narrow sequence()+explode over the packed spans."""
+    packed = packing.pack_sequences(_t(spark, sf, "documents"), budget=512)
+    return packing.chunk_slices(packed, budget=512)
+
+
 def q_stratified_sample(spark, sf):
     """Consistent per-language downsampling by md5 key-hash bucket —
     reproduced value-for-value by the DuckDB oracle (same md5 math)."""
@@ -651,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "pii_redaction": q_pii_redaction,
         "sequence_packing": q_sequence_packing,
+        "chunk_slices": q_chunk_slices,
         "stratified_sample": q_stratified_sample,
         "cube_orders": q_cube_orders,
         "cosine_topk": q_cosine_topk,
@@ -1443,6 +1451,26 @@ def oracle_sql() -> dict[str, str]:
                    (start_off + n_tokens - 1) // 512 AS chunk_last,
                    (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_chunks
             FROM o
+        """,
+        "chunk_slices": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents
+            ), o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_off
+              FROM t
+            ), s AS (
+              SELECT doc_id, n_tokens, start_off,
+                     unnest(generate_series(start_off // 512,
+                                            (start_off + n_tokens - 1) // 512)) AS chunk_id
+              FROM o
+            )
+            SELECT chunk_id, doc_id,
+                   greatest(chunk_id * 512 - start_off, 0) AS doc_tok_start,
+                   least((chunk_id + 1) * 512 - start_off, n_tokens) AS doc_tok_end
+            FROM s
         """,
         "stratified_sample": """
             SELECT doc_id, lang,
