@@ -49,7 +49,11 @@ pages = (
 )
 pages = pages.repartition(cores * 8).cache()
 pages.count()  # warm: materialize input, JIT, python workers
-job = triples_ops.extract_triples_hybrid(pages)  # the flagship form
+form = os.environ.get("KGCE_FORM", "hybrid")
+job = (
+    triples_ops.extract_triples_hybrid if form == "hybrid"
+    else triples_ops.extract_triples_fused
+)(pages)
 n = job.count()  # warm-up pass compiles codegen + spins python workers
 walls = []
 for _ in range(3):
@@ -62,14 +66,16 @@ print(json.dumps({{"cores": cores, "wall_sec": wall, "triples": n,
 """
 
 
-def run_at(cores: int, sf_dir: str, cpu_base: int = 16) -> dict:
+def run_at(cores: int, sf_dir: str, cpu_base: int = 16, form: str = "hybrid") -> dict:
     """Run the measured job in a fresh JVM pinned to exactly ``cores``
     PHYSICAL cpus (taskset over the whole process tree — JVM threads AND
     Python workers).  Without pinning, local[N]'s Arrow-pipelined
     Python+JVM overlap burns up to 2N cores, silently inflating the
     low-parallelism throughput and deflating measured scaling."""
     cpus = ",".join(str(cpu_base + i) for i in range(cores))
-    env = dict(os.environ, KGCE_CORES=str(cores), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ, KGCE_CORES=str(cores), SPARK_GRAFT_SF_DIR=sf_dir, KGCE_FORM=form
+    )
     load1 = os.getloadavg()[0]
     out = subprocess.run(
         ["taskset", "-c", cpus, sys.executable, "-c", RUN_SNIPPET.format(repo=str(REPO))],
@@ -80,6 +86,25 @@ def run_at(cores: int, sf_dir: str, cpu_base: int = 16) -> dict:
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return {**json.loads(line), "load1": round(load1, 2)}
+
+
+def _form_table(lo, hi, eff, flo, fhi, feff) -> str:
+    if not flo:
+        return ""
+    return f"""## Flagship-form comparison (same harness, same run, pinned)
+
+| form | T(local[{lo['cores']}]) | T(local[{hi['cores']}]) | efficiency | note |
+|---|---|---|---|---|
+| hybrid (Python tag, JVM pairs) | {lo['wall_sec']:.1f} s | {hi['wall_sec']:.1f} s | {eff:.3f} | flagship |
+| fused (all-Python pairs)       | {flo['wall_sec']:.1f} s | {fhi['wall_sec']:.1f} s | {feff:.3f} | kept as graded twin |
+
+The hybrid form is faster in absolute wall time AND scales at least as
+well — the O(k²) pair loop moves from Python into whole-stage-codegen'd
+posexplode, so per-core work is smaller and the Python workers stay
+saturated with pure tagging.  Both forms stay graded queries
+(`pipeline_triples`, `pipeline_triples_hybrid`) against the same DuckDB
+oracle, so the equivalence is re-proven by the driver every round.
+"""
 
 
 def main() -> None:
@@ -101,6 +126,14 @@ def main() -> None:
     hi = min(hi_runs, key=lambda r: r["wall_sec"])
     loads = [r["load1"] for r in lo_runs + hi_runs]
     eff = (lo["wall_sec"] / hi["wall_sec"]) / (n_hi / n_lo)
+    # fused-form comparison (one pair, same harness) so the flagship-form
+    # table always reflects the CURRENT code, not a historical run
+    if os.environ.get("KGCE_MEASURE_FUSED", "1") != "0":
+        flo = run_at(n_lo, sf_dir, form="fused")
+        fhi = run_at(n_hi, sf_dir, form="fused")
+    else:  # pragma: no cover - explicit opt-out
+        flo = fhi = None
+    feff = (flo["wall_sec"] / fhi["wall_sec"]) / (n_hi / n_lo) if flo else None
     result = {
         "sf_dir": sf_dir,
         "loN": {k: round(v, 2) for k, v in lo.items()},
@@ -111,6 +144,12 @@ def main() -> None:
         "rounds": rounds,
         "load1_at_launches": loads,
     }
+    if flo:
+        result["fused"] = {
+            "loN_wall": round(flo["wall_sec"], 2),
+            "lo4N_wall": round(fhi["wall_sec"], 2),
+            "efficiency": round(feff, 3),
+        }
     print(json.dumps(result))
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
@@ -145,20 +184,7 @@ pair generation -> partial-aggregated triple groupBy); its only wide
 shuffle is the 63k-key triple aggregation, so the scaling profile is
 CPU-dominated — the same profile a real cluster would see per-executor.
 
-## Flagship-form comparison (same harness, quiet host, pinned; measured once)
-
-| form | T(local[2]) | T(local[8]) | efficiency | note |
-|---|---|---|---|---|
-| hybrid (Python tag, JVM pairs) | 44.9 s | 11.0 s | 1.019 | flagship |
-| fused (all-Python pairs)       | 69.5 s | 19.0 s | 0.914 | kept as graded twin |
-
-The hybrid form is ~1.7x faster in absolute wall time AND scales at
-least as well — the O(k²) pair loop moves from Python into
-whole-stage-codegen'd posexplode, so per-core work is smaller and the
-Python workers stay saturated with pure tagging.  Both forms stay graded
-queries (`pipeline_triples`, `pipeline_triples_hybrid`) against the same
-DuckDB oracle, so the equivalence is re-proven by the driver every round.
-
+{_form_table(lo, hi, eff, flo, fhi, feff)}
 Launch-mode + checkpoint-resume evidence: BENCH/SUBMIT.md.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
