@@ -32,8 +32,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .textstats import _words
+
+# token_offsets persists its narrow base so the DAG fork below it costs
+# ONE corpus scan, but the join consuming it is lazy — the caller
+# materializes it, so we cannot unpersist inside the function.  To stop
+# the session-lifetime cache leak (ADVICE r2: every pack_sequences +
+# chunk_slices call stacked another cached RDD) we keep AT MOST ONE live
+# handle: each call unpersists the previous base, and release_cache()
+# drops the last one explicitly (tests / long-lived drivers call it).
+_last_base: DataFrame | None = None
+
+
+def release_cache() -> None:
+    """Unpersist the narrow base cached by the most recent
+    ``token_offsets`` call (no-op if none)."""
+    global _last_base
+    if _last_base is not None:
+        _last_base.unpersist(blocking=False)
+        _last_base = None
 
 
 def _range_bucket(id_col: str, lo: int, hi: int, n_buckets: int):
@@ -56,6 +75,15 @@ def token_offsets(
         F.col(weight_col) if weight_col else F.size(_words(F.col(text_col)))
     ).cast("long")
     lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:  # empty input: min/max agg yields nulls (ADVICE r2)
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", docs.schema[id_col].dataType),
+                T.StructField("n_tokens", T.LongType()),
+                T.StructField("start_off", T.LongType()),
+            ]
+        )
+        return docs.sparkSession.createDataFrame([], schema)
     # narrow base WITHOUT the text column (3 longs per doc), persisted:
     # the DAG forks below (window branch + totals branch), and an
     # unmaterialized fork re-scans and re-tokenizes the full corpus —
@@ -63,11 +91,14 @@ def token_offsets(
     # that into ONE scan of the (100 TB) text and keeps every later pass
     # on the tiny frame; persist (not localCheckpoint) keeps lineage for
     # fault-tolerant recompute on a real cluster.
+    global _last_base
+    release_cache()
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         weight.alias("n_tokens"),
         _range_bucket(id_col, lo, hi, n_buckets).alias("_pb"),
     ).persist()
+    _last_base = base
     local = Window.partitionBy("_pb").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -116,7 +147,12 @@ def chunk_slices(packed: DataFrame, budget: int) -> DataFrame:
     chunk — ``doc_tok_start`` inclusive, ``doc_tok_end`` exclusive, in
     DOCUMENT-local token coordinates.  Narrow (no shuffle): sequence()
     + explode over the per-doc chunk span."""
-    s = packed.select(
+    # zero-token docs (possible via weight_col: real tokenizers can emit
+    # 0 tokens) have chunk_last < chunk_first; sequence() would emit a
+    # DESCENDING 2-element array = two spurious empty slices (ADVICE r2).
+    # Such docs contribute no loader work — drop them before exploding,
+    # matching the oracle's generate_series (empty for reversed bounds).
+    s = packed.filter(F.col("n_tokens") > 0).select(
         "doc_id",
         "n_tokens",
         "start_off",

@@ -43,7 +43,9 @@ def hash_sample(
     df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = "0"
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, decided by key hash (see module doc)."""
-    return df.filter(hash_bucket(F.col(key_col), salt) < int(fraction * _M))
+    # round, not truncate: 0.3 * 1e6 = 299999.9999... would silently
+    # exclude bucket 299999 under int() (ADVICE r2).
+    return df.filter(hash_bucket(F.col(key_col), salt) < int(round(fraction * _M)))
 
 
 def stratified_hash_sample(
@@ -58,10 +60,10 @@ def stratified_hash_sample(
     move (e.g. downsample English, keep all low-resource languages).
     ``fractions`` maps stratum value -> keep fraction; unlisted strata
     get ``default_fraction``.  Still a pure narrow filter."""
-    threshold = F.lit(int(default_fraction * _M))
+    threshold = F.lit(int(round(default_fraction * _M)))
     for value, frac in sorted(fractions.items()):
         threshold = F.when(
-            F.col(strata_col) == value, F.lit(int(frac * _M))
+            F.col(strata_col) == value, F.lit(int(round(frac * _M)))
         ).otherwise(threshold)
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
 
@@ -77,5 +79,5 @@ def split_train_eval(
     independent ``sample()`` calls there is no overlap and no dropped
     row, and membership is stable across re-runs and engines."""
     b = hash_bucket(F.col(key_col), salt)
-    cut = int(eval_fraction * _M)
+    cut = int(round(eval_fraction * _M))
     return df.filter(b >= cut), df.filter(b < cut)

@@ -98,6 +98,59 @@ def test_weight_col_override(spark):
     assert got == {10: 0, 20: 5, 30: 12}
 
 
+def test_token_offsets_empty_input(spark):
+    """Empty input: min/max agg yields nulls — must return an empty frame
+    with the output schema, not TypeError inside bucket arithmetic."""
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = packing.token_offsets(df)
+    assert out.columns == ["doc_id", "n_tokens", "start_off"]
+    assert out.count() == 0
+
+
+def test_chunk_slices_zero_token_doc_emits_no_work(spark):
+    """A zero-weight doc whose start_off lands on a chunk boundary has
+    chunk_last < chunk_first; sequence() would emit a descending 2-element
+    array = two spurious empty slices.  It must yield NO loader rows
+    (matching the oracle's generate_series)."""
+    df = spark.createDataFrame(
+        [(1, "x", 128), (2, "x", 0), (3, "x", 5)], "doc_id long, text string, w long"
+    )
+    packed = packing.pack_sequences(df, budget=128, weight_col="w")
+    slices = packing.chunk_slices(packed, budget=128).collect()
+    assert all(r.doc_id != 2 for r in slices)
+    assert all(r.doc_tok_end > r.doc_tok_start for r in slices)
+    # the non-empty docs still partition correctly
+    got = {(r.chunk_id, r.doc_id): (r.doc_tok_start, r.doc_tok_end) for r in slices}
+    assert got == {(0, 1): (0, 128), (1, 3): (0, 5)}
+
+
+def test_packing_cache_bounded(spark, docs):
+    """Repeated token_offsets calls keep AT MOST one persisted base; an
+    explicit release drops it (the r2 session-lifetime leak)."""
+    jsc = spark.sparkContext._jsc.sc()
+    packing.release_cache()
+    before = jsc.getPersistentRDDs().size()
+    packing.token_offsets(docs).count()
+    packing.token_offsets(docs).count()
+    assert jsc.getPersistentRDDs().size() <= before + 1
+    packing.release_cache()
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_hash_sample_fraction_rounding(spark):
+    """0.3 * 1e6 = 299999.9999...: int() truncation would silently drop
+    bucket 299999.  The threshold must round to the documented 1e-6
+    granularity."""
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    kept = sampling.hash_sample(df, 0.3).count()
+    want = duckdb.sql(
+        """SELECT count(*) FROM range(4000) t(doc_id)
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))::BIGINT
+                 % 1000000 < 300000"""
+    ).fetchone()[0]
+    assert kept == want
+
+
 def test_hash_sample_determinism_and_rate(spark, docs):
     a = sorted(r.doc_id for r in sampling.hash_sample(docs, 0.3).select("doc_id").collect())
     b = sorted(r.doc_id for r in sampling.hash_sample(docs, 0.3).select("doc_id").collect())
