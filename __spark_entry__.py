@@ -362,9 +362,15 @@ def q_cube_orders(spark, sf):
 
 
 def q_cosine_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
-    top = ann.cosine_topk(emb, qvec, k=20)
+    """ONE scan: the query row (vec_id=0) is broadcast-joined instead of
+    collected — the r2 bench showed the driver qvec round-trip re-scanning
+    the whole table (~40% of wall time); at 100 TB it would be a full
+    second pass.  The embeddings read skips the parallelism guard: a
+    64-dim dot product is scan-bound, not compute-bound, and the guard's
+    exchange shuffles the fat array column for no win (r2 ADVICE #3)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding")
+    top = ann.cosine_topk_bcast(emb, qrow, k=20)
     w = Window.orderBy(F.desc("cosine"), "vec_id")
     return top.select(F.row_number().over(w).alias("rank"), "vec_id")
 

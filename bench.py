@@ -5,6 +5,24 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 ``value`` is total wall seconds over the headline set; ``queries`` has
 per-query seconds; ``derived`` adds throughput figures (triples/sec for
 the flagship pipeline — the BASELINE.json headline metric).
+
+Measurement hygiene (hard-won, see CLAUDE.md):
+
+* ``df.count()`` measures NOTHING for computed projections — Catalyst
+  prunes every expression count() doesn't need (a window decode's
+  collect_list/min_by would be optimized out of the timing).  Each query
+  is materialized via ``count + bit_xor(xxhash64(*cols))`` over ALL
+  output columns, which forces every expression to execute (bit_xor,
+  not sum: ANSI mode overflows on summed hashes).
+* the host is SHARED: a single timing can measure a neighbor's burst
+  instead of the engine (observed 30x swings at load>8 with this
+  container's own CPUs 96% idle).  min-of-N per query
+  ($SPARK_GRAFT_BENCH_RUNS) + per-query 1-min load average recorded in
+  the JSON so any outlier is adjudicable after the fact.
+* a secondary scale factor (default sf0.01, $SPARK_GRAFT_SF2_DIR;
+  "none" disables) runs after the primary and is embedded under
+  ``secondary`` — a 10x input spread separates fixed overhead from
+  data-proportional cost when a query regresses round-over-round.
 """
 
 from __future__ import annotations
@@ -16,9 +34,61 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+HEADLINE = [
+    "pipeline_triples_hybrid",  # flagship: Python tags, JVM pairs
+    "pipeline_triples",       # fused UDF form (round-over-round diff)
+    "mentions_decode",        # window-based decode
+    "triples_agg",            # self-join + aggregation
+    "q1_pricing_summary",     # scan-heavy aggregation
+    "lsh_pairs",              # MinHash LSH blocking join
+    "user_sessions",          # sessionization windows
+    "connected_components",   # iterative CC
+    "cosine_topk",            # embedding brute-force top-k
+]
+
+
+def _materialize(df) -> int:
+    """Force FULL execution of every output expression; return rowcount.
+
+    count() alone lets Catalyst prune computed columns out of the plan;
+    hashing every column keeps them all live.  bit_xor is order- and
+    overflow-safe (ANSI mode rejects sum(hash)).
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*df.columns)).alias("fp"),
+    ).first()
+    return row.n
+
+
+def _run_set(spark, qs, sf_dir: str, runs: int):
+    """Time each headline query (min-of-``runs``) at one scale factor."""
+    timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
+    n_triples = 0
+    for name in HEADLINE:
+        best = float("inf")
+        loads[name] = round(os.getloadavg()[0], 2)
+        for _ in range(runs):
+            t0 = time.monotonic()
+            n = _materialize(qs[name](spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+        if name == "pipeline_triples_hybrid":
+            n_triples = n
+    return timings, loads, n_triples
+
+
+def _sf_of(sf_dir: str):
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     import __spark_entry__ as entrymod
@@ -26,17 +96,6 @@ def main() -> None:
 
     spark = get_spark("kgce-bench", cores=cores, shuffle_partitions=max(cores, 8))
 
-    headline = [
-        "pipeline_triples_hybrid",  # flagship: Python tags, JVM pairs
-        "pipeline_triples",       # fused UDF form (round-over-round diff)
-        "mentions_decode",        # window-based decode
-        "triples_agg",            # self-join + aggregation
-        "q1_pricing_summary",     # scan-heavy aggregation
-        "lsh_pairs",              # MinHash LSH blocking join
-        "user_sessions",          # sessionization windows
-        "connected_components",   # iterative CC
-        "cosine_topk",            # embedding brute-force top-k
-    ]
     qs = entrymod.queries()
     # session warmup: JVM JIT, FS listing, python worker spin-up — none of
     # it belongs to the first measured query
@@ -52,31 +111,16 @@ def main() -> None:
     spark.range(cores * 4).repartition(cores).mapInPandas(
         _noop, "id long"
     ).count()
-    # min-of-N per query: the host is SHARED, so a single timing can
-    # measure a neighbor's burst instead of the engine (observed 30x
-    # swings at load>8 with the container's own CPUs 96% idle)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    n_triples = 0
-    for name in headline:
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.monotonic()
-            df = qs[name](spark, sf_dir)
-            n = df.count()  # forces full execution
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
-        if name == "pipeline_triples_hybrid":
-            n_triples = n
+    timings, loads, n_triples = _run_set(spark, qs, sf_dir, runs)
 
-    total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_total",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": _sf_of(sf_dir),
+        "load1": loads,
         "derived": {
             "triples": n_triples,
             "triples_per_sec": round(n_triples / timings["pipeline_triples_hybrid"], 1)
@@ -85,6 +129,19 @@ def main() -> None:
             "cores": cores,
         },
     }
+    if (
+        sf2_dir
+        and sf2_dir.lower() != "none"
+        and os.path.isdir(sf2_dir)
+        and os.path.realpath(sf2_dir) != os.path.realpath(sf_dir)
+    ):
+        t2, l2, _ = _run_set(spark, qs, sf2_dir, runs)
+        out["secondary"] = {
+            "sf": _sf_of(sf2_dir),
+            "total": round(sum(t2.values()), 3),
+            "queries": t2,
+            "load1": l2,
+        }
     print(json.dumps(out))
 
 

@@ -48,6 +48,35 @@ def cosine_topk(
     )
 
 
+def cosine_topk_bcast(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a 1-row query DataFrame, fused
+    into ONE scan via a broadcast cross-join — no driver collect.
+
+    The list-literal twin (``cosine_topk``) needs the query vector on
+    the driver, which costs a SECOND full pass over the table when the
+    query row comes from the table itself (the benched q_cosine_topk
+    shape: qvec collect was ~40% of the query's wall time at sf0.1).
+    Numerics are bit-identical to the literal form: the query array is
+    cast to double, so every product is a double multiply of exactly
+    widened floats and both norms are the same strict left fold.
+    """
+    qd = F.col(vec_col).cast("array<double>")
+    q = query.select(qd.alias("_qv"), _norm(qd).alias("_qn"))
+    cos = _dot(F.col(vec_col), F.col("_qv")) / (_norm(F.col(vec_col)) * F.col("_qn"))
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
 def md5_planes(n_planes: int, dim: int, seed: int = 13) -> list[list[int]]:
     """Deterministic integer-lattice hyperplanes from md5 — reproducible
     bit-for-bit in DuckDB (``('0x'||substr(md5(j||':'||p||':'||seed),1,8))

@@ -144,6 +144,28 @@ def test_cosine_topk_matches_duckdb(spark):
         assert abs(g[1] - w[1]) < 1e-4
 
 
+def test_cosine_topk_bcast_matches_literal(spark):
+    """The single-scan broadcast form must be BIT-identical to the
+    list-literal form (double-cast query array reproduces the same
+    widened-float products and strict left folds), and its plan must be
+    one scan of the big side + a broadcast join — no driver collect, no
+    exchange of the embeddings."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding")
+    lit_form = [(r.vec_id, r.cosine) for r in ann.cosine_topk(emb, qvec, k=50).collect()]
+    bc_form = [(r.vec_id, r.cosine) for r in ann.cosine_topk_bcast(emb, qrow, k=50).collect()]
+    assert lit_form == bc_form
+    plan = (
+        ann.cosine_topk_bcast(emb, qrow, k=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # big side never shuffles
+
+
 def test_lsh_topk_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     qvec = emb.filter(F.col("vec_id") == 7).collect()[0].embedding
