@@ -139,6 +139,149 @@ def test_real_hf_model_tagger_interface():
     assert len(labels) == 4 and all(isinstance(l, str) for l in labels)
 
 
+@pytest.fixture()
+def fake_hf():
+    """Install the torch/transformers doubles for one test; restore the
+    import-gated state afterwards so MissingDependencyError gate tests
+    stay order-independent."""
+    from kgce.testing import install_fake_hf, uninstall_fake_hf
+
+    install_fake_hf()
+    yield
+    uninstall_fake_hf()
+
+
+def test_fake_hf_tokenizer_roundtrip(spark, fake_hf):
+    """Non-skipping sibling of test_real_hf_tokenizer_roundtrip: the REAL
+    load_hf_tokenizer/HFTokenizerAdapter/featurize path executes against
+    the injected transformers double, on Spark executors."""
+    from kgce.testing import fake_hf_tokenizer_loader
+
+    df = spark.createDataFrame(
+        [("u1", 0, TOKENS, LABELS), ("u2", 0, ["short", "ok"], ["O", "B-loc"])],
+        "url string, sent_id long, tokens array<string>, labels array<string>",
+    )
+    feats = featurize.featurize(
+        df, L2I, max_seq_len=16, tokenizer_loader=fake_hf_tokenizer_loader()
+    )
+    i2l = {v: k for k, v in L2I.items()}
+    got = {
+        r.url: list(r.labels)
+        for r in featurize.restitch_word_labels(feats, i2l).collect()
+    }
+    assert got == {"u1": LABELS, "u2": ["O", "B-loc"]}
+
+
+def test_fake_hf_model_tagger_executes_tensor_path(fake_hf):
+    """Non-skipping sibling of test_real_hf_model_tagger_interface: REAL
+    HFModelTagger code (lazy _load, length-bucketed batching, enc ->
+    forward -> word_ids walk -> argmax) runs against the doubles; the
+    expected labels are recomputed independently from the fake vocabulary."""
+    from kgce.hf import HFModelTagger
+    from kgce.testing import fake_expected_word_labels
+
+    t = HFModelTagger("/fake/model", batch_size=2)
+    sents = [
+        ["Barack", "Obama", "visited", "Paris"],
+        ["a"],
+        ["several", "words", "of", "rather", "unequal", "lengths", "here"],
+        [" ", "ok", "\t"],  # zero-piece words must not shift neighbors
+    ]
+    got = t.tag_batch(sents)
+    assert got == [fake_expected_word_labels(s) for s in sents]
+    assert t(sents[0]) == got[0]  # per-sentence TagFn contract
+
+
+def test_fake_hf_model_tagger_truncation(fake_hf):
+    """Words whose first piece falls past max_length decode to 'O'
+    without shifting earlier labels."""
+    from kgce.hf import HFModelTagger
+    from kgce.testing import fake_expected_word_labels
+
+    words = [f"w{i}rdnumber{i}" for i in range(40)]  # 4 pieces, varied heads
+    t = HFModelTagger("/fake/model", max_length=32)
+    got = t.tag_batch([words])[0]
+    want = fake_expected_word_labels(words, max_length=32)
+    assert got == want
+    assert len(got) == 40
+    assert set(got[10:]) == {"O"} and set(got[:7]) != {"O"}
+
+
+def test_fake_hf_model_tagger_crf_branch(fake_hf):
+    """crf_params selects Viterbi over argmax inside _decode_ids (the
+    reference's use_crf config branch); validated against kgce.crf's
+    (brute-force-proven) viterbi_decode over the same fake logits."""
+    import numpy as np
+
+    from kgce.crf import CRFParams, viterbi_decode
+    from kgce.hf import HFModelTagger
+    from kgce.testing import FAKE_ID2LABEL, FakeFastTokenizer, FakeTCModel
+
+    n = len(FAKE_ID2LABEL)
+    rng = np.random.default_rng(0)  # seed picked so Viterbi != argmax
+    params = CRFParams(
+        transitions=rng.normal(size=(n, n)) * 3.0,
+        start_transitions=rng.normal(size=n),
+        end_transitions=rng.normal(size=n),
+    )
+    words = ["Barack", "Obama", "visited", "Paris", "today"]
+    t = HFModelTagger("/fake/model", crf_params=params)
+    got = t.tag_batch([words])[0]
+
+    # expected: rebuild the fake logits exactly as the model sees them,
+    # Viterbi over the attended span, then the word_ids walk
+    tok = FakeFastTokenizer()
+    enc = tok([words], is_split_into_words=True, truncation=True,
+              max_length=512, padding=True, return_tensors="pt")
+    logits = FakeTCModel()(**enc).logits.numpy()[0]
+    span = int(enc["attention_mask"].numpy()[0].sum())
+    path = viterbi_decode(logits[:span], params)
+    from kgce.hf import first_piece_labels
+
+    want = first_piece_labels(enc.word_ids(0), path, FAKE_ID2LABEL, len(words))
+    assert got == want
+    argmax_form = HFModelTagger("/fake/model").tag_batch([words])[0]
+    assert got != argmax_form  # the strong random transitions flip labels
+
+
+def test_fake_hf_tagger_on_spark_pipeline(spark, fake_hf):
+    """extract_mentions runs the REAL HFModelTagger tensor path inside
+    Spark executor workers (doubles install lazily per worker process);
+    the FULL mention set is recomputed by a pure-Python oracle that uses
+    fake_expected_word_labels as the tag function."""
+    from kgce import oracle, schemas, synth, tagging
+    from kgce.testing import FakeTorchModelTagger, fake_expected_word_labels
+
+    pages_rows = synth.gen_pages(12, seed=5)
+    pages = spark.createDataFrame(pages_rows, schema=schemas.PAGES)
+    m = tagging.extract_mentions(pages, tagger=FakeTorchModelTagger(batch_size=4))
+    got = sorted(
+        (r.url, r.sent_id, r.mention_id, r.text, r.start, r.end, r.type)
+        for r in m.collect()
+    )
+
+    want = []
+    for row in pages_rows:
+        url, text = row["url"], row["text"]
+        if text is None:
+            continue
+        page_ms = []
+        for sid, (s, e) in enumerate(oracle.split_sentences(text)):
+            toks = oracle.tokenize(text[s:e], base=s)
+            if not toks:
+                continue
+            labels = oracle.fix_bio(fake_expected_word_labels([t[0] for t in toks]))
+            for sp in oracle.decode_spans_converter(
+                [t[0] for t in toks], [(t[1], t[2]) for t in toks], labels
+            ):
+                page_ms.append((sid, sp.text, sp.char_s, sp.char_e, sp.etype))
+        page_ms.sort(key=lambda x: (x[2], x[3]))
+        for mid, (sid, mtext, ms, me, mt) in enumerate(page_ms, start=1):
+            want.append((url, sid, mid, mtext, ms, me, mt))
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
 def test_first_piece_labels_alignment():
     """The word_ids walk must survive zero-piece words and truncation
     without shifting later labels (torch-free: pure-Python walk)."""
