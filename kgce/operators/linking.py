@@ -83,6 +83,7 @@ def candidate_pairs_lsh(
     bands: int = DEFAULT_BANDS,
     num_hashes: int = DEFAULT_NUM_HASHES,
     max_bucket_size: int | None = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs of entity keys sharing >=1 LSH band bucket (a < b).
 
@@ -92,7 +93,16 @@ def candidate_pairs_lsh(
     pairs in one task).  Oversized buckets are dropped; genuinely similar
     forms still pair through their other bands.  The SURVEY §7 hard-parts
     list calls this the real-world hot spot.
+
+    ``materialize`` checkpoints ``signed`` first: this plan consumes it
+    from SIX subtrees (band explode x2, bucket counts x2, payload
+    re-attach x2), and when it derives from the mention-extraction UDF an
+    unmaterialized fork re-runs that UDF per consumer (the CLAUDE.md
+    self-join trap; verified 6 MapInPandas in the live plan).  Pass
+    False only if the caller already materialized it.
     """
+    if materialize:
+        signed = _checkpoint(signed)
     rows = num_hashes // bands
     band_cols = F.array(
         *[
@@ -100,9 +110,15 @@ def candidate_pairs_lsh(
             for i in range(bands)
         ]
     )
-    banded = signed.select(
-        "entity_key", "norm", "shingles", F.explode(band_cols).alias("band")
-    )
+    # the band explode + self-join + dedup move ONLY (band, entity_key) —
+    # 16 bytes/row instead of norm + shingle arrays replicated per band
+    # (r2 ADVICE: at vocabulary scale the fat payload dominated the
+    # shuffled/broadcast bytes).  norm/shingles re-attach below to the
+    # SURVIVING pairs only, which LSH makes a tiny fraction of the
+    # banded rows; the payload probe also never computes the minhash
+    # signature (Catalyst prunes it), so the re-attach costs two joins
+    # against the shingled vocab, not two signature passes.
+    banded = signed.select("entity_key", F.explode(band_cols).alias("band"))
     if max_bucket_size is not None:
         small = (
             banded.groupBy("band")
@@ -111,24 +127,30 @@ def candidate_pairs_lsh(
             .select("band")
         )
         banded = banded.join(small, "band")
-    a = banded.select(
-        F.col("band"),
-        F.col("entity_key").alias("a"),
-        F.col("norm").alias("norm_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = banded.select(
-        F.col("band"),
-        F.col("entity_key").alias("b"),
-        F.col("norm").alias("norm_b"),
-        F.col("shingles").alias("sh_b"),
-    )
-    return (
+    a = banded.select("band", F.col("entity_key").alias("a"))
+    b = banded.select("band", F.col("entity_key").alias("b"))
+    pairs = (
         a.join(b, "band")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "norm_a", "norm_b", "sh_a", "sh_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    payload = signed.select("entity_key", "norm", "shingles")
+    return pairs.join(
+        payload.select(
+            F.col("entity_key").alias("a"),
+            F.col("norm").alias("norm_a"),
+            F.col("shingles").alias("sh_a"),
+        ),
+        "a",
+    ).join(
+        payload.select(
+            F.col("entity_key").alias("b"),
+            F.col("norm").alias("norm_b"),
+            F.col("shingles").alias("sh_b"),
+        ),
+        "b",
+    ).select("a", "b", "norm_a", "norm_b", "sh_a", "sh_b")
 
 
 def verified_edges(cands: DataFrame, threshold: float = 0.6) -> DataFrame:
@@ -275,12 +297,18 @@ def canonicalize(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
 
     Surface forms that never matched anything keep their own key.
     """
-    vocab = entity_vocab(mentions)
-    signed = minhash_signatures(vocab)
-    edges = verified_edges(candidate_pairs_lsh(signed), threshold)
+    # ONE mention-UDF + vocab-distinct pass total: the signed vocabulary
+    # is checkpointed here and every downstream consumer — band explode,
+    # bucket counts, payload re-attach, and the final membership join —
+    # reads the materialized blocks instead of re-running the pipeline.
+    signed = _checkpoint(minhash_signatures(entity_vocab(mentions)))
+    edges = verified_edges(
+        candidate_pairs_lsh(signed, materialize=False), threshold
+    )
     comps = connected_components(edges)
     return (
-        vocab.join(comps, vocab.entity_key == comps.node, "left")
+        signed.select("norm", "entity_key")
+        .join(comps, signed.entity_key == comps.node, "left")
         .select(
             "norm",
             "entity_key",
