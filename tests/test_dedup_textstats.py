@@ -175,6 +175,79 @@ def test_lsh_topk_recall(spark):
     assert 7 in approx  # the query vector itself is always found
 
 
+def test_lloyd_refine_improves_ivf_recall(spark):
+    """r2 VERDICT #6: a few deterministic Lloyd iterations over a
+    hash-sample must beat seeds-as-centroids at equal n_probe.  Recall
+    is measured with a driver-side mirror of ivf_topk's exact math
+    (same strict folds, same tie-breaks) so 30 queries stay cheap; one
+    Spark ivf_topk call is cross-checked against the mirror."""
+    from kgce.operators.ann import _py_dot
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    seeds = ann.seed_centroids(emb, 16)
+    refined = ann.lloyd_refine(emb, 16, n_iter=5)
+    assert refined == ann.lloyd_refine(emb, 16, n_iter=5)  # deterministic
+
+    def _assign(v, cents):
+        best, best_s = 0, float("-inf")
+        for cid, c in cents:
+            s = _py_dot(v, c) / (_py_dot(c, c) ** 0.5)
+            if s > best_s:
+                best, best_s = cid, s
+        return best
+
+    def _recall(cents, n_probe=2, k=10):
+        cell = {i: _assign(v, cents) for i, v in vecs.items()}
+        total = 0.0
+        qids = sorted(vecs)[:: max(1, len(vecs) // 30)][:30]
+        for q in qids:
+            qv = vecs[q]
+            qn = _py_dot(qv, qv) ** 0.5
+
+            def cos(i):
+                v = vecs[i]
+                return _py_dot(v, qv) / ((_py_dot(v, v) ** 0.5) * qn)
+
+            exact = sorted(vecs, key=lambda i: (-cos(i), i))[:k]
+            probes = set(
+                cid for cid, _ in sorted(
+                    cents, key=lambda c: -_py_dot(qv, c[1]) / (_py_dot(c[1], c[1]) ** 0.5)
+                )[:n_probe]
+            )
+            cand = [i for i in vecs if cell[i] in probes]
+            got = sorted(cand, key=lambda i: (-cos(i), i))[:k]
+            total += len(set(exact) & set(got)) / k
+        return total / len(qids)
+
+    r_seed, r_ref = _recall(seeds), _recall(refined)
+    assert r_ref > r_seed, (r_seed, r_ref)
+
+    # bridge the mirror to the real operator for one query
+    q = sorted(vecs)[7]
+    spark_got = [
+        r.vec_id
+        for r in ann.ivf_topk(emb, vecs[q], k=10, n_probe=2, centroids=refined).collect()
+    ]
+    cell = {i: _assign(v, refined) for i, v in vecs.items()}
+    qv = vecs[q]
+    qn = _py_dot(qv, qv) ** 0.5
+    probes = set(
+        cid for cid, _ in sorted(
+            refined, key=lambda c: -_py_dot(qv, c[1]) / (_py_dot(c[1], c[1]) ** 0.5)
+        )[:2]
+    )
+    cand = [i for i in vecs if cell[i] in probes]
+    mirror = sorted(
+        cand,
+        key=lambda i: (
+            -round(_py_dot(vecs[i], qv) / ((_py_dot(vecs[i], vecs[i]) ** 0.5) * qn), 6),
+            i,
+        ),
+    )[:10]
+    assert spark_got == mirror
+
+
 def test_multimodal_plumbing(spark):
     media = spark.createDataFrame(multimodal.gen_media(30), schema=multimodal.MEDIA)
     feats = multimodal.extract_features(media, dim=16)
