@@ -131,8 +131,24 @@ def extract_sentences(pages: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def tag_sentences(sentences: DataFrame, tagger: str = "rule") -> DataFrame:
-    """Attach repaired BIO labels (tag + sys-label mask + __fix_bio)."""
+def tag_sentences(
+    sentences: DataFrame, tagger: str = "rule", bucket_by_length: bool | None = None
+) -> DataFrame:
+    """Attach repaired BIO labels (tag + sys-label mask + __fix_bio).
+
+    Batch-capable taggers (``tag_batch`` — model inference) get
+    ``length_bucketed`` input automatically: similar-length sentences
+    share Arrow batches, so fixed-size model batches waste minimal
+    padding (the reference's ``auto=True`` DataLoader sort).  The range
+    exchange this adds is the SAME single shuffle a parallelism guard
+    would spend — it replaces it, not stacks on it.  Per-sentence
+    taggers (rule) stay narrow: no exchange at all.  Override with
+    ``bucket_by_length`` if measurement says otherwise for a workload.
+    """
+    if bucket_by_length is None:
+        bucket_by_length = hasattr(get_tagger(tagger), "tag_batch")
+    if bucket_by_length:
+        sentences = length_bucketed(sentences)
 
     def tag_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag_fn = get_tagger(tagger)

@@ -77,6 +77,21 @@ def test_linking_lsh_slim_join_and_single_udf_pass(spark):
     assert re.search(r"HashAggregate\(keys=\[a#\d+L, b#\d+L\], functions=\[\], output=\[a#\d+L, b#\d+L\]\)", plan)
 
 
+def test_tag_sentences_bucketing_by_tagger_kind(spark):
+    """Batch-capable taggers (model inference) get length-bucketed input:
+    exactly ONE range exchange feeds the tagging UDF.  Per-sentence
+    taggers stay narrow — no exchange at all (r2 VERDICT #8)."""
+    from kgce import tagging
+    from kgce.testing import FakeBatchTagger
+
+    sents = tagging.extract_sentences(_pages(spark, 10))
+    batched = _plan(tagging.tag_sentences(sents, tagger=FakeBatchTagger()))
+    assert batched.count("Exchange") == 1
+    assert "rangepartitioning" in batched
+    narrow = _plan(tagging.tag_sentences(sents))  # rule tagger
+    assert "Exchange" not in narrow
+
+
 def test_build_nodes_no_sort_aggregate(spark):
     from kgce import tagging
     from kgce.operators import linking
