@@ -224,8 +224,17 @@ def install_fake_hf() -> None:
         if importlib.util.find_spec(name) is not None:
             return  # real library installed — never shadow it
 
+    import importlib.machinery
+
+    # a bare ModuleType has __spec__=None, and importlib.util.find_spec
+    # RAISES ValueError on that for an in-sys.modules module — pyspark's
+    # own pyspark.testing.utils probes find_spec("torch") inside reused
+    # executor workers (state.update -> have_numpy import chain), so the
+    # doubles must carry a real ModuleSpec or they break UNRELATED
+    # streaming/arrow stages that share the worker pool.
     if "torch" not in sys.modules:
         torch = types.ModuleType("torch")
+        torch.__spec__ = importlib.machinery.ModuleSpec("torch", loader=None)
         torch._kgce_fake = True
         torch.no_grad = contextlib.nullcontext
         torch.cuda = types.SimpleNamespace(is_available=lambda: False)
@@ -233,6 +242,7 @@ def install_fake_hf() -> None:
 
     if "transformers" not in sys.modules:
         tr = types.ModuleType("transformers")
+        tr.__spec__ = importlib.machinery.ModuleSpec("transformers", loader=None)
         tr._kgce_fake = True
         tr.AutoTokenizer = types.SimpleNamespace(
             from_pretrained=lambda name_or_dir, **kw: FakeFastTokenizer()

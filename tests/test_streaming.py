@@ -18,7 +18,7 @@ def test_stream_equals_batch_and_resumes(spark, tmp_path):
     q = streaming.stream_mentions_to_parquet(
         streaming.stream_pages(spark, in_dir), out_dir, ckpt
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     got1 = spark.read.parquet(out_dir).count()
     want1 = tagging.extract_mentions(
         spark.createDataFrame(batch1, schema=schemas.PAGES)
@@ -31,7 +31,7 @@ def test_stream_equals_batch_and_resumes(spark, tmp_path):
     q2 = streaming.stream_mentions_to_parquet(
         streaming.stream_pages(spark, in_dir), out_dir, ckpt
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "stream did not finish within 300s"
     got2 = spark.read.parquet(out_dir).count()
     want2 = tagging.extract_mentions(
         spark.createDataFrame(batch2, schema=schemas.PAGES)
@@ -54,7 +54,7 @@ def test_windowed_mention_counts_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     got = {
         (r.w_start, r.type): r.n_mentions
         for r in spark.sql("select * from win_counts").collect()
@@ -93,7 +93,10 @@ def test_stateful_url_dedup_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False (no raise) on timeout — assert it,
+    # otherwise a slow shared host yields PARTIAL results and the set
+    # comparison below fails with a misleading message (r3 flake)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     got = [r.url for r in spark.sql("select url from dedup_urls").collect()]
     assert len(got) == len(set(got))  # every url exactly once
     all_pages = spark.createDataFrame(first + recrawl + fresh, schema=schemas.PAGES)
