@@ -615,6 +615,20 @@ def q_chunk_slices(spark, sf):
     return packing.chunk_slices(packed, budget=512)
 
 
+def q_decontam_hits(spark, sf):
+    """Test-set decontamination (GPT-3-style n-gram overlap): a 5%
+    hash-split of documents stands in for the benchmark set; every
+    training doc is scored by how many distinct eval 3-grams it
+    contains.  Eval n-gram set is broadcast — the corpus side is one
+    narrow scan + a map-side semi-join; the only shuffle is the per-doc
+    hit count over MATCHING rows."""
+    from kgce.operators import decontam
+
+    docs = _t(spark, sf, "documents")
+    train, ev = sampling.split_train_eval(docs, 0.05, salt="eval")
+    return decontam.ngram_hits(train, ev, n=3)
+
+
 def q_stratified_sample(spark, sf):
     """Consistent per-language downsampling by md5 key-hash bucket —
     reproduced value-for-value by the DuckDB oracle (same md5 math)."""
@@ -666,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "chunk_slices": q_chunk_slices,
         "stratified_sample": q_stratified_sample,
+        "decontam_hits": q_decontam_hits,
         "cube_orders": q_cube_orders,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
@@ -1477,6 +1492,21 @@ def oracle_sql() -> dict[str, str]:
                    greatest(chunk_id * 512 - start_off, 0) AS doc_tok_start,
                    least((chunk_id + 1) * 512 - start_off, n_tokens) AS doc_tok_end
             FROM s
+        """,
+        "decontam_hits": f"""
+            WITH ev AS (
+              SELECT DISTINCT unnest({_SHINGLES}) AS g FROM documents
+              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 15))::BIGINT
+                      % 1000000 < 50000
+            ),
+            tr AS (
+              SELECT doc_id, unnest({_SHINGLES}) AS g FROM documents
+              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 15))::BIGINT
+                      % 1000000 >= 50000
+            )
+            SELECT doc_id, count(*) AS n_hits
+            FROM tr JOIN ev USING (g)
+            GROUP BY doc_id
         """,
         "stratified_sample": """
             SELECT doc_id, lang,

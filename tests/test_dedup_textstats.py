@@ -248,6 +248,38 @@ def test_lloyd_refine_improves_ivf_recall(spark):
     assert spark_got == mirror
 
 
+def test_decontaminate_flags_planted_leak(spark):
+    """A training doc containing a verbatim eval sentence is flagged;
+    clean docs are not; min_hits screens single-n-gram coincidences.
+    The eval n-gram set must reach the corpus as a broadcast join."""
+    from kgce.operators import decontam
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over the lazy dog end"),
+            (2, "completely unrelated content about spark partitions"),
+            (3, "mentions a brown fox jumps once by coincidence"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontam.decontaminate(train, ev, n=5, min_hits=2).collect()}
+    assert out[1][0] >= 2 and out[1][1] is True      # verbatim leak
+    assert out[2] == (0, False)                      # clean
+    assert out[3][1] is False                        # coincidental overlap
+    plan = (
+        decontam.ngram_hits(train, ev, n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # eval grams broadcast, corpus narrow
+
+
 def test_multimodal_plumbing(spark):
     media = spark.createDataFrame(multimodal.gen_media(30), schema=multimodal.MEDIA)
     feats = multimodal.extract_features(media, dim=16)
