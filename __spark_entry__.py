@@ -629,6 +629,18 @@ def q_decontam_hits(spark, sf):
     return decontam.ngram_hits(train, ev, n=3)
 
 
+def q_mixing_weights(spark, sf):
+    """Corpus-mixture rebalancing: per-language token counts -> keep
+    fractions realizing a 40/30/30 en/de/fr target token mix (binding
+    stratum keeps 1.0, others scale down, unlisted languages keep 0).
+    One narrow scan + one tiny stratum groupBy; pure double arithmetic
+    so DuckDB reproduces every value."""
+    from kgce.operators import mixing
+
+    docs = _t(spark, sf, "documents")
+    return mixing.mixing_weights(docs, {"en": 0.4, "de": 0.3, "fr": 0.3})
+
+
 def q_stratified_sample(spark, sf):
     """Consistent per-language downsampling by md5 key-hash bucket —
     reproduced value-for-value by the DuckDB oracle (same md5 math)."""
@@ -681,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_slices": q_chunk_slices,
         "stratified_sample": q_stratified_sample,
         "decontam_hits": q_decontam_hits,
+        "mixing_weights": q_mixing_weights,
         "cube_orders": q_cube_orders,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
@@ -1492,6 +1505,35 @@ def oracle_sql() -> dict[str, str]:
                    greatest(chunk_id * 512 - start_off, 0) AS doc_tok_start,
                    least((chunk_id + 1) * 512 - start_off, n_tokens) AS doc_tok_end
             FROM s
+        """,
+        "mixing_weights": f"""
+            WITH mix AS (
+              SELECT lang AS stratum, count(*) AS n_docs,
+                     CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY lang
+            ),
+            tgt AS (
+              -- normalization replicates the Spark side's Python
+              -- sum(target.values()) FOLD ORDER (en+de+fr) so t is the
+              -- same IEEE double on both engines (0.4+0.3+0.3 != 1.0)
+              SELECT stratum, n_docs, n_tokens,
+                     CASE stratum WHEN 'en' THEN 0.4::DOUBLE
+                                  WHEN 'de' THEN 0.3::DOUBLE
+                                  WHEN 'fr' THEN 0.3::DOUBLE END
+                       / ((0.4::DOUBLE + 0.3::DOUBLE) + 0.3::DOUBLE) AS t
+              FROM mix
+            ),
+            tot AS (
+              SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+                     min(CASE WHEN t IS NOT NULL THEN n_tokens / t END) AS bound
+              FROM tgt
+            )
+            SELECT stratum, n_docs, n_tokens,
+                   round(n_tokens / tt::DOUBLE, 6) AS share,
+                   CASE WHEN t IS NULL THEN 0.0::DOUBLE
+                        ELSE round(least(1.0::DOUBLE, t * bound / n_tokens), 6)
+                   END AS keep_frac
+            FROM tgt, tot
         """,
         "decontam_hits": f"""
             WITH ev AS (

@@ -151,6 +151,27 @@ def test_hash_sample_fraction_rounding(spark):
     assert kept == want
 
 
+def test_mixing_weights_realize_target(spark):
+    """The binding stratum keeps 1.0; kept token counts realize the
+    target proportions exactly; unlisted strata keep 0."""
+    from kgce.operators import mixing
+
+    rows = []
+    did = 0
+    for lang, n_docs, words in (("en", 50, 40), ("de", 10, 20), ("xx", 5, 30)):
+        for _ in range(n_docs):
+            rows.append((did, lang, " ".join(["w"] * words)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.stratum: r for r in mixing.mixing_weights(df, {"en": 0.5, "de": 0.5}).collect()}
+    assert out["xx"].keep_frac == 0.0
+    # en: 2000 tokens, de: 200 tokens -> de binds (200/0.5 < 2000/0.5)
+    assert out["de"].keep_frac == 1.0
+    # kept en tokens = keep * 2000 must equal de's 200 (50/50 target)
+    assert abs(out["en"].keep_frac * 2000 - 200) < 1e-3
+    assert out["en"].n_tokens == 2000 and out["de"].n_docs == 10
+
+
 def test_hash_sample_determinism_and_rate(spark, docs):
     a = sorted(r.doc_id for r in sampling.hash_sample(docs, 0.3).select("doc_id").collect())
     b = sorted(r.doc_id for r in sampling.hash_sample(docs, 0.3).select("doc_id").collect())
