@@ -629,6 +629,43 @@ def q_decontam_hits(spark, sf):
     return decontam.ngram_hits(train, ev, n=3)
 
 
+def _boilerplated_docs(spark, sf):
+    """documents with deterministic cross-page boilerplate injected (the
+    synthetic corpus has no repeated sentences, so — like the PII query's
+    planted emails — the fixture plants footer/newsletter sentences:
+    every doc gets the footer, every third doc the newsletter line).
+    Identical concat/CASE expressions on the DuckDB side."""
+    return _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(". all rights reserved site footer."),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" subscribe to our newsletter now.")
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_boilerplate_sentences(spark, sf):
+    """Cross-document boilerplate detection: sentences occurring in >= 3
+    distinct documents, keyed by md5 digest.  All-JVM marked-split (the
+    proven two-regexp replica of the Python splitter), narrow explode,
+    one digest-keyed partial-aggregated groupBy."""
+    from kgce.operators import boilerplate
+
+    return boilerplate.boilerplate_sentences(_boilerplated_docs(spark, sf), min_df=3)
+
+
+def q_strip_boilerplate(spark, sf):
+    """Documents re-assembled from their non-boilerplate sentences
+    (left-anti join against the min_df>=3 digest set, ordered per-doc
+    re-concatenation)."""
+    from kgce.operators import boilerplate
+
+    return boilerplate.strip_boilerplate(_boilerplated_docs(spark, sf), min_df=3)
+
+
 def q_mixing_weights(spark, sf):
     """Corpus-mixture rebalancing: per-language token counts -> keep
     fractions realizing a 40/30/30 en/de/fr target token mix (binding
@@ -694,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontam_hits": q_decontam_hits,
         "mixing_weights": q_mixing_weights,
+        "boilerplate_sentences": q_boilerplate_sentences,
+        "strip_boilerplate": q_strip_boilerplate,
         "cube_orders": q_cube_orders,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
@@ -720,6 +759,13 @@ _MENTIONS_P4 = mentions_sql(min_token_len=4)
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
+
+# marked sentence split — same two-regexp replica of the Python
+# splitter's lookbehind alternation proven in _fused_pipeline_sql
+_SEG_SQL = (
+    r"regexp_replace(regexp_replace(text, '([.!?])\s+', '\1'||chr(1), 'g'), "
+    r"'\n{2,}', chr(1), 'g')"
+)
 _SHINGLES = (
     f"list_distinct(list_transform(range(1, greatest(len({_WORDS}) - 2, 1) + 1), "
     f"i -> array_to_string(list_slice({_WORDS}, i, i + 2), ' ')))"
@@ -1505,6 +1551,44 @@ def oracle_sql() -> dict[str, str]:
                    greatest(chunk_id * 512 - start_off, 0) AS doc_tok_start,
                    least((chunk_id + 1) * 512 - start_off, n_tokens) AS doc_tok_end
             FROM s
+        """,
+        "boilerplate_sentences": f"""
+            WITH bdocs AS (
+              SELECT doc_id, text || '. all rights reserved site footer.' || CASE WHEN doc_id % 3 = 0 THEN ' subscribe to our newsletter now.' ELSE '' END AS text FROM documents
+            ),
+            segs AS (
+              SELECT doc_id, unnest(ss) AS sent FROM (
+                SELECT doc_id, list_filter(list_transform(
+                         string_split({_SEG_SQL}, chr(1)), s -> trim(s)),
+                         s -> s <> '') AS ss
+                FROM bdocs)
+            )
+            SELECT md5(sent) AS sent_md5, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, sent FROM segs)
+            GROUP BY md5(sent) HAVING count(*) >= 3
+        """,
+        "strip_boilerplate": f"""
+            WITH bdocs AS (
+              SELECT doc_id, text || '. all rights reserved site footer.' || CASE WHEN doc_id % 3 = 0 THEN ' subscribe to our newsletter now.' ELSE '' END AS text FROM documents
+            ),
+            lists AS (
+              SELECT doc_id, list_filter(list_transform(
+                       string_split({_SEG_SQL}, chr(1)), s -> trim(s)),
+                       s -> s <> '') AS ss
+              FROM bdocs
+            ),
+            segs AS (
+              SELECT doc_id, generate_subscripts(ss, 1) - 1 AS pos, unnest(ss) AS sent
+              FROM lists
+            ),
+            bp AS (
+              SELECT md5(sent) AS m
+              FROM (SELECT DISTINCT doc_id, sent FROM segs)
+              GROUP BY md5(sent) HAVING count(*) >= 3
+            )
+            SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text
+            FROM segs WHERE md5(sent) NOT IN (SELECT m FROM bp)
+            GROUP BY doc_id
         """,
         "mixing_weights": f"""
             WITH mix AS (

@@ -1,0 +1,93 @@
+"""Boilerplate sentence detection and removal.
+
+Crawled corpora repeat navigation/footer/cookie-notice sentences across
+thousands of pages; the standard cleanup (C4/Gopher lineage) drops any
+sentence whose DOCUMENT frequency exceeds a threshold.  The reference
+engine has no counterpart — another beyond-reference training-data
+operator.
+
+All-JVM (no Python stage): sentences come from the same two-regexp-mark
+split the fused-pipeline oracle proved order-equivalent to the Python
+splitter's lookbehind alternation ``(?<=[.!?])\\s+|\\n{2,}``
+(see __spark_entry__._fused_pipeline_sql) — break positions are marked
+with \\x01 in two sequential global replaces, then split.  Both engines
+run the LITERAL same expressions, so the DuckDB oracle matches by
+construction.
+
+Scale shape: sentence explode is narrow; the document-frequency count is
+one groupBy on the 16-byte sentence digest (classic inverted-index
+shuffle, partial-aggregated map-side); removal is a left-anti join of
+exploded sentences against the (small, min_df-thresholded) boilerplate
+digest set, then an ordered per-doc re-concatenation — collect_list of
+(pos, sentence) structs sorted post-agg, which keeps a HashAggregate
+(struct buffers are fine; it is string MIN/MAX buffers that force
+SortAggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MARK = "\x01"  # break marker; chr(1) on the DuckDB side
+
+
+def sentence_segments(text_col) -> "F.Column":
+    """Array of space-trimmed sentence segments (non-empty), by the
+    marked two-regexp split."""
+    marked = F.regexp_replace(
+        F.regexp_replace(text_col, r"([.!?])\s+", "$1" + _MARK), r"\n{2,}", _MARK
+    )
+    return F.filter(
+        F.transform(F.split(marked, _MARK), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def sentence_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(sent_md5, df): in how many DISTINCT documents each sentence
+    occurs.  Per-doc duplicates collapse first (array_distinct), so df
+    counts documents, not occurrences."""
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sentence_segments(F.col(text_col)))).alias("sent"),
+    )
+    return (
+        sents.groupBy(F.md5("sent").alias("sent_md5"))
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def boilerplate_sentences(
+    docs: DataFrame, min_df: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentences appearing in >= ``min_df`` documents (the boilerplate
+    set, keyed by md5 digest)."""
+    return sentence_df(docs, id_col, text_col).filter(F.col("df") >= min_df)
+
+
+def strip_boilerplate(
+    docs: DataFrame, min_df: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text): documents re-assembled from their non-boilerplate
+    sentences (single-space joined, original sentence order).  Documents
+    whose every sentence is boilerplate drop out (no empty rows).
+    """
+    bp = boilerplate_sentences(docs, min_df, id_col, text_col).select("sent_md5")
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sentence_segments(F.col(text_col))).alias("pos", "sent"),
+    )
+    kept = sents.join(bp, F.md5(sents.sent) == bp.sent_md5, "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("pos", "sent")).alias("_ps"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.array_sort("_ps"), lambda x: x.getField("sent")), " "
+            ).alias("text"),
+        )
+    )

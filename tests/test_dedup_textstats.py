@@ -280,6 +280,37 @@ def test_decontaminate_flags_planted_leak(spark):
     assert "BroadcastHashJoin" in plan  # eval grams broadcast, corpus narrow
 
 
+def test_boilerplate_detection_and_strip(spark):
+    """Planted footer repeats across docs -> detected at min_df and
+    stripped; unique sentences survive in original order; a doc that is
+    ALL boilerplate drops out; per-doc repeats count df once."""
+    from kgce.operators import boilerplate
+
+    footer = "all rights reserved."
+    rows = [
+        (1, f"alpha unique one. {footer} beta unique two."),
+        (2, f"{footer} gamma unique three. {footer}"),  # footer twice: df counts once
+        (3, f"delta unique four. {footer}"),
+        (4, footer),  # all boilerplate -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = boilerplate.boilerplate_sentences(df, min_df=3).collect()
+    assert len(bp) == 1 and bp[0].df == 4  # 4 docs, each counted once
+    got = {r.doc_id: r.text for r in boilerplate.strip_boilerplate(df, min_df=3).collect()}
+    assert got == {
+        1: "alpha unique one. beta unique two.",
+        2: "gamma unique three.",
+        3: "delta unique four.",
+    }
+    plan = (
+        boilerplate.strip_boilerplate(df, min_df=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in plan  # struct collect_list keeps hash agg
+
+
 def test_multimodal_plumbing(spark):
     media = spark.createDataFrame(multimodal.gen_media(30), schema=multimodal.MEDIA)
     feats = multimodal.extract_features(media, dim=16)
