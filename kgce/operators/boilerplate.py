@@ -68,17 +68,50 @@ def boilerplate_sentences(
     return sentence_df(docs, id_col, text_col).filter(F.col("df") >= min_df)
 
 
+# strip_boilerplate forks its DAG (boilerplate-set branch + kept-sentence
+# branch); without materialization each branch re-scans the corpus and
+# re-runs the regex sentence split — the CPU-dominant step.  Same bounded
+# single-handle persist pattern as packing.token_offsets: at most one
+# live cached frame, released on the next call or explicitly.
+_last_sents: DataFrame | None = None
+
+
+def release_cache() -> None:
+    """Unpersist the sentence frame cached by the most recent
+    ``strip_boilerplate`` call (no-op if none)."""
+    global _last_sents
+    if _last_sents is not None:
+        _last_sents.unpersist(blocking=False)
+        _last_sents = None
+
+
 def strip_boilerplate(
     docs: DataFrame, min_df: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, text): documents re-assembled from their non-boilerplate
     sentences (single-space joined, original sentence order).  Documents
     whose every sentence is boilerplate drop out (no empty rows).
+
+    ONE corpus scan: the exploded (doc_id, pos, sent) frame is persisted
+    and both branches — the min_df digest set and the kept sentences —
+    read the cache (persist, not checkpoint: lineage survives executor
+    loss, and MEMORY_AND_DISK spills rather than OOMs at corpus scale).
     """
-    bp = boilerplate_sentences(docs, min_df, id_col, text_col).select("sent_md5")
+    global _last_sents
+    release_cache()
     sents = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(sentence_segments(F.col(text_col))).alias("pos", "sent"),
+    ).persist()
+    _last_sents = sents
+    # df >= min_df over per-doc DISTINCT sentences — same set semantics
+    # as boilerplate_sentences (array_distinct before its explode)
+    bp = (
+        sents.dropDuplicates(["doc_id", "sent"])
+        .groupBy(F.md5("sent").alias("sent_md5"))
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("sent_md5")
     )
     kept = sents.join(bp, F.md5(sents.sent) == bp.sent_md5, "left_anti")
     return (

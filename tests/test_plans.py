@@ -77,6 +77,18 @@ def test_linking_lsh_slim_join_and_single_udf_pass(spark):
     assert re.search(r"HashAggregate\(keys=\[a#\d+L, b#\d+L\], functions=\[\], output=\[a#\d+L, b#\d+L\]\)", plan)
 
 
+def test_strip_boilerplate_single_sentence_pass(spark):
+    """Both DAG branches (min_df digest set + kept sentences) read the
+    persisted exploded-sentence frame — the regex sentence split runs
+    once, not once per branch."""
+    from kgce.operators import boilerplate
+
+    plan = _plan(boilerplate.strip_boilerplate(_docs(spark)))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "SortAggregate" not in plan
+    boilerplate.release_cache()
+
+
 def test_tag_sentences_bucketing_by_tagger_kind(spark):
     """Batch-capable taggers (model inference) get length-bucketed input:
     exactly ONE range exchange feeds the tagging UDF.  Per-sentence
