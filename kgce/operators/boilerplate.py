@@ -16,12 +16,9 @@ construction.
 
 Scale shape: sentence explode is narrow; the document-frequency count is
 one groupBy on the 16-byte sentence digest (classic inverted-index
-shuffle, partial-aggregated map-side); removal is a left-anti join of
-exploded sentences against the (small, min_df-thresholded) boilerplate
-digest set, then an ordered per-doc re-concatenation — collect_list of
-(pos, sentence) structs sorted post-agg, which keeps a HashAggregate
-(struct buffers are fine; it is string MIN/MAX buffers that force
-SortAggregate).
+shuffle, partial-aggregated map-side); removal keeps sentences as
+per-doc arrays so re-assembly is a narrow array filter — see
+strip_boilerplate's docstring for the full four-step shape.
 """
 
 from __future__ import annotations
@@ -92,35 +89,51 @@ def strip_boilerplate(
     sentences (single-space joined, original sentence order).  Documents
     whose every sentence is boilerplate drop out (no empty rows).
 
-    ONE corpus scan: the exploded (doc_id, pos, sent) frame is persisted
-    and both branches — the min_df digest set and the kept sentences —
-    read the cache (persist, not checkpoint: lineage survives executor
-    loss, and MEMORY_AND_DISK spills rather than OOMs at corpus scale).
+    Scale shape — sentences stay a PER-DOC ARRAY, so re-assembly is a
+    narrow array filter + join, never a corpus-sized (pos, sentence)
+    shuffle:
+
+    1. ONE regex-split pass builds the persisted (doc_id, ss[]) base —
+       both branches read the cache (persist keeps lineage; spills, not
+       OOMs, at corpus scale);
+    2. document frequency = one digest-keyed groupBy over the per-doc
+       DISTINCT exploded sentences (the unavoidable inverted-index
+       shuffle);
+    3. the min_df digest set is BROADCAST back onto the exploded
+       sentences; only MATCHING rows shuffle into per-doc boilerplate
+       digest lists;
+    4. the doc-keyed join of those small lists onto the cached base is
+       exchange-reusable (base arrives hash-keyed on doc_id when the
+       input guard ran), and the final text is a per-row
+       filter/transform/array_join — no re-concat aggregation.
     """
     global _last_sents
     release_cache()
-    sents = docs.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(sentence_segments(F.col(text_col))).alias("pos", "sent"),
+        sentence_segments(F.col(text_col)).alias("ss"),
     ).persist()
-    _last_sents = sents
-    # df >= min_df over per-doc DISTINCT sentences — same set semantics
-    # as boilerplate_sentences (array_distinct before its explode)
+    _last_sents = base
+    exploded = base.select(
+        "doc_id", F.explode(F.array_distinct("ss")).alias("sent")
+    )
     bp = (
-        sents.dropDuplicates(["doc_id", "sent"])
-        .groupBy(F.md5("sent").alias("sent_md5"))
+        exploded.groupBy(F.md5("sent").alias("sent_md5"))
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_df)
         .select("sent_md5")
     )
-    kept = sents.join(bp, F.md5(sents.sent) == bp.sent_md5, "left_anti")
+    doc_bp = (
+        exploded.join(F.broadcast(bp), F.md5(exploded.sent) == bp.sent_md5)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sent_md5").alias("_bad"))
+    )
+    bad = F.coalesce(F.col("_bad"), F.array().cast("array<string>"))
+    kept_text = F.array_join(
+        F.filter(F.col("ss"), lambda s: ~F.array_contains(bad, F.md5(s))), " "
+    )
     return (
-        kept.groupBy("doc_id")
-        .agg(F.collect_list(F.struct("pos", "sent")).alias("_ps"))
-        .select(
-            "doc_id",
-            F.array_join(
-                F.transform(F.array_sort("_ps"), lambda x: x.getField("sent")), " "
-            ).alias("text"),
-        )
+        base.join(doc_bp, "doc_id", "left")
+        .select("doc_id", kept_text.alias("text"))
+        .filter(F.col("text") != "")
     )
