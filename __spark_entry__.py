@@ -666,6 +666,24 @@ def q_strip_boilerplate(spark, sf):
     return boilerplate.strip_boilerplate(_boilerplated_docs(spark, sf), min_df=3)
 
 
+def q_triangle_stats(spark, sf):
+    """Entity co-occurrence graph metrics: mentions co-occurring in a
+    document form undirected edges; triangles are counted once each via
+    degree ordering (out-wedges bounded O(sqrt(m)) per node — no hub
+    blowup).  All-integer joins/counts, exactly reproduced by DuckDB."""
+    from kgce.operators import graph
+
+    m = (
+        ruletag.document_mentions(_t(spark, sf, "documents"))
+        .select("doc_id", "mention_text")
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("mention_text").alias("a"))
+    b = m.select("doc_id", F.col("mention_text").alias("b"))
+    edges = a.join(b, "doc_id").filter(F.col("a") < F.col("b")).select("a", "b")
+    return graph.triangle_stats(edges)
+
+
 def q_mixing_weights(spark, sf):
     """Corpus-mixture rebalancing: per-language token counts -> keep
     fractions realizing a 40/30/30 en/de/fr target token mix (binding
@@ -731,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontam_hits": q_decontam_hits,
         "mixing_weights": q_mixing_weights,
+        "triangle_stats": q_triangle_stats,
         "boilerplate_sentences": q_boilerplate_sentences,
         "strip_boilerplate": q_strip_boilerplate,
         "cube_orders": q_cube_orders,
@@ -1552,6 +1571,38 @@ def oracle_sql() -> dict[str, str]:
                    least((chunk_id + 1) * 512 - start_off, n_tokens) AS doc_tok_end
             FROM s
         """,
+        "triangle_stats": f"""
+            WITH m AS ({{mentions}}),
+            mm AS (SELECT DISTINCT doc_id, mention_text FROM m),
+            e AS (
+              SELECT DISTINCT a.mention_text AS lo, b.mention_text AS hi
+              FROM mm a JOIN mm b
+                ON a.doc_id = b.doc_id AND a.mention_text < b.mention_text
+            ),
+            deg AS (
+              SELECT node, count(*) AS d FROM (
+                SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+              GROUP BY node
+            ),
+            o AS (
+              SELECT CASE WHEN (dl.d, e.lo) < (dh.d, e.hi) THEN e.lo ELSE e.hi END AS u,
+                     CASE WHEN (dl.d, e.lo) < (dh.d, e.hi) THEN e.hi ELSE e.lo END AS v,
+                     CASE WHEN (dl.d, e.lo) < (dh.d, e.hi) THEN dh.d ELSE dl.d END AS dv
+              FROM e
+              JOIN deg dl ON dl.node = e.lo
+              JOIN deg dh ON dh.node = e.hi
+            ),
+            w AS (
+              SELECT x.v AS wv, y.v AS ww FROM o x JOIN o y
+              ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)
+            )
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*) FROM w) AS n_wedges,
+                   (SELECT count(*) FROM w
+                    WHERE EXISTS (SELECT 1 FROM o
+                                  WHERE o.u = w.wv AND o.v = w.ww)) AS n_triangles
+        """.replace("{mentions}", _MENTIONS),
         "boilerplate_sentences": f"""
             WITH bdocs AS (
               SELECT doc_id, text || '. all rights reserved site footer.' || CASE WHEN doc_id % 3 = 0 THEN ' subscribe to our newsletter now.' ELSE '' END AS text FROM documents

@@ -74,6 +74,39 @@ def test_connected_components_empty(spark):
     assert linking.connected_components(df).count() == 0
 
 
+@pytest.mark.parametrize("seed", [3, 11])
+def test_triangle_stats_match_brute_force(spark, seed):
+    """Degree-ordered triangle counting == O(n^3) brute force on random
+    graphs; degrees match; each triangle counted exactly once."""
+    import itertools
+    import random
+
+    from kgce.operators import graph
+
+    rng = random.Random(seed)
+    n = 24
+    edges = sorted(
+        {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.25}
+    )
+    df = spark.createDataFrame(
+        [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges] + [(0, 0)],
+        "a long, b long",
+    )  # mixed orientation + a self-loop that must be dropped
+    row = graph.triangle_stats(df).first()
+    es = set(edges)
+    tri = sum(
+        1
+        for x, y, z in itertools.combinations(range(n), 3)
+        if (x, y) in es and (y, z) in es and (x, z) in es
+    )
+    assert row.n_triangles == tri
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len({v for e in edges for v in e})
+    deg = {r.node: r.degree for r in graph.degrees(df).collect()}
+    for v in deg:
+        assert deg[v] == sum(1 for e in edges if v in e)
+
+
 def test_canonicalize_clusters_near_duplicates(spark):
     mentions = spark.createDataFrame(
         [
