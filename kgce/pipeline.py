@@ -63,8 +63,74 @@ def canonical_triples(
     )
 
 
-def run(pages: DataFrame, link_threshold: float = 0.6) -> dict[str, DataFrame]:
-    """Uncheckpointed single-job run (tests, small corpora)."""
+def clean_pages(
+    pages: DataFrame,
+    exact_dedup: bool = True,
+    repetition: bool = True,
+    boilerplate_min_df: int | None = None,
+    eval_docs: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_min_hits: int = 1,
+) -> DataFrame:
+    """Crawl-hygiene pre-pass composing the training-data operators, in
+    the standard order cheap-narrow-first:
+
+    1. exact dedup — one digest-keyed window keeps the lowest-url copy
+       of each normalized text (the only shuffle of the raw corpus);
+    2. repetition filter — pure narrow Gopher-style thresholds;
+    3. boilerplate strip (optional, ``boilerplate_min_df``) — repeated
+       sentences removed, all-boilerplate pages dropped;
+    4. decontamination (optional, ``eval_docs``) — pages sharing
+       ``decontam_min_hits`` n-grams with the eval set dropped.
+
+    Returns pages with the SAME schema (text possibly rewritten by the
+    boilerplate strip).  Cross-document stages (dedup DF counts,
+    boilerplate DF, eval grams) make this a GLOBAL stage — in
+    run_checkpointed it lands under one all-or-nothing manifest, never
+    per-bucket (a per-bucket run would count document frequency inside
+    one bucket only).
+    """
+    from pyspark.sql import Window
+
+    from .operators import boilerplate as bp_ops
+    from .operators import decontam as dc
+    from .operators import textstats
+    from .operators.dedup import normalize_doc
+
+    out = pages
+    if exact_dedup:
+        w = Window.partitionBy(F.md5(normalize_doc(F.col("text")))).orderBy("url")
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if repetition:
+        out = textstats.repetition_filter(out, id_col="url", text_col="text")
+    if boilerplate_min_df is not None:
+        stripped = bp_ops.strip_boilerplate(
+            out, min_df=boilerplate_min_df, id_col="url"
+        ).withColumnRenamed("doc_id", "url")
+        out = out.drop("text").join(stripped, "url")  # inner: all-bp pages drop
+    if eval_docs is not None:
+        flagged = dc.decontaminate(
+            out,
+            eval_docs,
+            n=decontam_n,
+            min_hits=decontam_min_hits,
+            id_col="url",
+        )
+        out = flagged.filter(~F.col("contaminated")).drop("n_hits", "contaminated")
+    return out
+
+
+def run(
+    pages: DataFrame, link_threshold: float = 0.6, clean: dict | None = None
+) -> dict[str, DataFrame]:
+    """Uncheckpointed single-job run (tests, small corpora).  ``clean``
+    (kwargs for :func:`clean_pages`) enables the hygiene pre-pass."""
+    if clean is not None:
+        pages = clean_pages(pages, **clean)
     mentions = tagging.extract_mentions(pages)
     canon = linking.canonicalize(mentions, threshold=link_threshold)
     trips = canonical_triples(mentions, threshold=link_threshold, canon=canon)
@@ -83,6 +149,7 @@ def run_checkpointed(
     link_threshold: float = 0.6,
     salt_hot_domains: bool = True,
     n_salt: int = 16,
+    clean: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Resumable run: mention extraction and triple aggregation land under
     ``work_dir`` with per-bucket manifests (kill/re-run safe).
@@ -100,6 +167,15 @@ def run_checkpointed(
         pages = salted_repartition(pages, domain_of(F.col("url")), n_salt=n_salt)
     runner = StageRunner(spark, work_dir, n_buckets=n_buckets)
 
+    if clean is not None:
+        # GLOBAL stage: dedup/boilerplate document frequencies cross any
+        # bucketing, so the hygiene pass caches all-or-nothing (eval_docs
+        # is a DataFrame — excluded from the resume-config fingerprint)
+        clean_cfg = {k: v for k, v in clean.items() if not isinstance(v, DataFrame)}
+        raw_pages = pages
+        pages = runner.run_global(
+            "clean_pages", lambda: clean_pages(raw_pages, **clean), config=clean_cfg
+        )
     mentions = runner.run("mentions", pages, tagging.extract_mentions, key="url")
     scored = runner.run(
         "scored_pairs",

@@ -41,6 +41,59 @@ def test_pipeline_checkpointed_writes_graph(spark, tmp_path):
     assert m2.filter(F.col("status") == "done").count() == 4
 
 
+def test_clean_pages_hygiene_pass(spark):
+    """Exact dedup keeps the lowest-url copy; boilerplate strip rewrites
+    text; decontamination drops pages overlapping the eval set; schema
+    is preserved."""
+    import datetime
+
+    base = synth.gen_pages(12, seed=41)
+    footer = " legal footer applies to every page."
+    rows = []
+    for p in base:
+        q = dict(p)
+        q["text"] = q["text"] + "." + footer
+        rows.append(q)
+    # exact duplicate of page 0 under a later url
+    dup = dict(rows[0])
+    dup["url"] = "zzz://dup"
+    rows.append(dup)
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    ev = spark.createDataFrame(
+        [("e1", rows[3]["text"])], "doc_id string, text string"
+    )
+    out = pipeline.clean_pages(
+        pages,
+        boilerplate_min_df=3,
+        eval_docs=ev,
+        decontam_n=5,
+        decontam_min_hits=2,
+    )
+    got = {r.url: r.text for r in out.collect()}
+    assert "zzz://dup" not in got          # dedup kept the earlier url
+    assert rows[3]["url"] not in got       # decontaminated (verbatim in eval)
+    assert all(footer.strip() not in t for t in got.values())  # stripped
+    assert set(out.columns) == set(pages.columns)
+    assert len(got) >= 8
+
+
+def test_checkpointed_clean_stage_resumes(spark, tmp_path):
+    """run_checkpointed with the hygiene pass enabled: the clean stage
+    caches globally and a re-run reuses it (identical triples)."""
+    pages = _pages(spark, 25, seed=31)
+    wd = str(tmp_path / "wk")
+    out1 = pipeline.run_checkpointed(
+        pages, wd, n_buckets=2, clean={"exact_dedup": True, "repetition": True}
+    )
+    t1 = sorted(map(tuple, out1["triples"].select("subj_text", "pred", "obj_text").collect()))
+    assert (tmp_path / "wk" / "clean_pages" / "data" / "_SUCCESS").exists()
+    out2 = pipeline.run_checkpointed(
+        pages, wd, n_buckets=2, clean={"exact_dedup": True, "repetition": True}
+    )
+    t2 = sorted(map(tuple, out2["triples"].select("subj_text", "pred", "obj_text").collect()))
+    assert t1 == t2 and len(t1) > 0
+
+
 def test_upsert_parquet_merge_semantics(spark, tmp_path):
     """K6 MERGE analog: updates replace matching keys, keep the rest,
     and re-applying the same updates is a no-op (idempotent resume)."""
