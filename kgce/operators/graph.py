@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .linking import _checkpoint
+
 
 def canonical_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Distinct undirected edges as (lo, hi), self-loops dropped."""
@@ -51,8 +53,15 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     candidate set the closure join probes); n_triangles counts each
     triangle exactly once.
     """
-    e = canonical_edges(edges, a, b)
-    deg = degrees(edges, a, b)
+    # the edge set feeds FIVE consumers (degree count, two rank joins,
+    # edge count, closure probe); when it derives from an upstream UDF /
+    # join pipeline an unmaterialized fork re-runs that pipeline per
+    # consumer (the CLAUDE.md multi-consumer trap) — checkpoint once
+    e = _checkpoint(canonical_edges(edges, a, b))
+    sym = e.select(F.col("lo").alias("node")).unionAll(
+        e.select(F.col("hi").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("degree"))
     dl = deg.select(F.col("node").alias("lo"), F.col("degree").alias("_dl"))
     dh = deg.select(F.col("node").alias("hi"), F.col("degree").alias("_dh"))
     ranked = e.join(dl, "lo").join(dh, "hi")
@@ -60,22 +69,33 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     lo_first = F.struct(F.col("_dl").alias("d"), F.col("lo").alias("n")) < F.struct(
         F.col("_dh").alias("d"), F.col("hi").alias("n")
     )
-    o = ranked.select(
-        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
-        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
-        F.when(
-            lo_first, F.struct(F.col("_dh").alias("d"), F.col("hi").alias("n"))
-        ).otherwise(F.struct(F.col("_dl").alias("d"), F.col("lo").alias("n"))).alias("rv"),
+    o = _checkpoint(
+        ranked.select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+            F.when(
+                lo_first, F.struct(F.col("_dh").alias("d"), F.col("hi").alias("n"))
+            ).otherwise(
+                F.struct(F.col("_dl").alias("d"), F.col("lo").alias("n"))
+            ).alias("rv"),
+        )
     )
     x, y = o.alias("x"), o.alias("y")
+    # ONE wedge pass: closure becomes a left join + flag so wedge and
+    # triangle counts come out of the same aggregation
     wedges = x.join(
         y, (F.col("x.u") == F.col("y.u")) & (F.col("x.rv") < F.col("y.rv"))
     ).select(F.col("x.v").alias("wv"), F.col("y.v").alias("ww"))
-    closed = wedges.join(
-        o, (F.col("wv") == F.col("u")) & (F.col("ww") == F.col("v")), "left_semi"
+    probe = o.select(
+        F.col("u").alias("wv"), F.col("v").alias("ww"), F.lit(1).alias("_hit")
+    )
+    wcounts = (
+        wedges.join(probe, ["wv", "ww"], "left")
+        .agg(
+            F.count("*").alias("n_wedges"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_triangles"),
+        )
     )
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = e.agg(F.count("*").alias("n_edges"))
-    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
-    n_triangles = closed.agg(F.count("*").alias("n_triangles"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_triangles)
+    return n_nodes.crossJoin(n_edges).crossJoin(wcounts)
