@@ -122,3 +122,64 @@ def dedup_stream_by_url(pages_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream_by_digest(pages_stream: DataFrame) -> DataFrame:
+    """Stateful exact CONTENT dedup across micro-batches: only the first
+    page carrying each normalized-text digest passes through — the
+    streaming analog of the batch hygiene pass's exact dedup (mirror
+    sites and re-posts under different urls are dropped, not just
+    re-crawls of one url).
+
+    State = times-seen per digest key in the state store (restart-safe
+    via the checkpoint).  Grouping moves only (digest, url, text) —
+    digest is computed JVM-side before the shuffle.  Batch fallback:
+    keep the lowest-url row per digest (deterministic keeper, matching
+    pipeline.clean_pages), which the stream==batch test exploits —
+    within one batch the stream variant also keeps the lowest url
+    (rows are sorted before the state walk).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .operators.dedup import normalize_doc
+
+    digested = pages_stream.select(
+        F.md5(normalize_doc(F.col("text"))).alias("digest"), "url", "text"
+    )
+    if not pages_stream.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("digest").orderBy("url")
+        return (
+            digested.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", "text")
+        )
+
+    def dedup_fn(key, pdfs, state):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        best = None
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                cand = pdf.sort_values("url").iloc[:1][["url", "text"]]
+                if best is None or cand.iloc[0]["url"] < best.iloc[0]["url"]:
+                    best = cand
+        state.update((seen + n,))
+        if seen == 0 and best is not None:
+            yield best
+        else:
+            yield pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                "text": pd.Series([], dtype="object")})
+
+    return digested.groupBy("digest").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

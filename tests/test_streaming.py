@@ -102,3 +102,40 @@ def test_stateful_url_dedup_across_microbatches(spark, tmp_path):
     all_pages = spark.createDataFrame(first + recrawl + fresh, schema=schemas.PAGES)
     want = {r.url for r in streaming.dedup_stream_by_url(all_pages).collect()}
     assert set(got) == want
+
+
+def test_stateful_digest_dedup_across_microbatches(spark, tmp_path):
+    """dedup_stream_by_digest: identical CONTENT under different urls in
+    later micro-batches is dropped; batch fallback (lowest-url keeper)
+    agrees with the streamed result."""
+    in_dir = str(tmp_path / "dg_in")
+    first = synth.gen_pages(10, seed=81)
+    _write_pages(spark, in_dir, first)
+    # mirrors: same text, different urls, later files; plus one new page
+    mirrors = [dict(p, url="mirror://" + p["url"]) for p in first[:5]]
+    fresh = [dict(p, url=p["url"] + "?v=2") for p in synth.gen_pages(1, seed=82)]
+    _write_pages(spark, in_dir, mirrors + fresh)
+
+    stream = (
+        spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming.dedup_stream_by_digest(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_digests")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish within 300s"
+    got = {r.url: r.text for r in spark.sql("select * from dedup_digests").collect()}
+    texts = list(got.values())
+    assert len(texts) == len(set(texts))  # one survivor per content digest
+    assert not any(u.startswith("mirror://") for u in got)  # originals came first
+    all_pages = spark.createDataFrame(first + mirrors + fresh, schema=schemas.PAGES)
+    want_texts = {
+        r.text for r in streaming.dedup_stream_by_digest(all_pages).collect()
+    }
+    assert set(texts) == want_texts
