@@ -288,14 +288,18 @@ def lloyd_refine(
         return []
     seeds = seed_centroids(embeddings, n_centroids, id_col, vec_col)
     cents = [list(c) for _, c in seeds]
-    inv_norms = [1.0 / (_py_dot(c, c) ** 0.5 or 1.0) for c in cents]
+    # score = dot / norm, the DIVISION form, matching ivf_assign and
+    # _probe_ids exactly — a*(1/b) can differ from a/b by an ulp, which
+    # would flip tie-adjacent assignments vs an engine re-deriving the
+    # codebook through the documented formula
+    norms = [(_py_dot(c, c) ** 0.5) or 1.0 for c in cents]
     for _ in range(n_iter):
         sums = [[0.0] * len(c) for c in cents]
         counts = [0] * len(cents)
         for v in sample:
             best, best_s = 0, float("-inf")
             for cid, c in enumerate(cents):
-                s = _py_dot(v, c) * inv_norms[cid]
+                s = _py_dot(v, c) / norms[cid]
                 if s > best_s:  # strict >: ties keep the smaller cid
                     best, best_s = cid, s
             counts[best] += 1
@@ -305,7 +309,7 @@ def lloyd_refine(
         for cid, c in enumerate(cents):
             if counts[cid]:
                 cents[cid] = [s / counts[cid] for s in sums[cid]]
-        inv_norms = [1.0 / (_py_dot(c, c) ** 0.5 or 1.0) for c in cents]
+        norms = [(_py_dot(c, c) ** 0.5) or 1.0 for c in cents]
     return list(enumerate(cents))
 
 

@@ -57,17 +57,21 @@ def mixing_weights(
     DuckDB oracle reproduces every value.
     """
     z = sum(target.values())
+    if z <= 0:
+        raise ValueError("mixing_weights: target proportions must sum > 0")
     tcol = F.lit(None).cast("double")
     for k, v in sorted(target.items()):
         tcol = F.when(F.col("stratum") == k, F.lit(v / z)).otherwise(tcol)
     mix = corpus_mix(docs, strata_col, text_col).withColumn("t", tcol)
     w = Window.partitionBy()
-    bound = F.min(
-        F.when(F.col("t").isNotNull(), F.col("n_tokens") / F.col("t"))
-    ).over(w)
-    keep = F.when(
-        F.col("t").isNull(), F.lit(0.0)
-    ).otherwise(F.least(F.lit(1.0), F.col("t") * bound / F.col("n_tokens")))
+    # an explicit 0.0 target behaves like an unlisted stratum (keep 0) —
+    # and must not enter the bound fold, where n_tokens/0.0 = Inf and
+    # 0.0 * Inf = NaN would silently turn keep_frac into 1.0
+    positive = F.col("t").isNotNull() & (F.col("t") > 0)
+    bound = F.min(F.when(positive, F.col("n_tokens") / F.col("t"))).over(w)
+    keep = F.when(~F.coalesce(positive, F.lit(False)), F.lit(0.0)).otherwise(
+        F.least(F.lit(1.0), F.col("t") * bound / F.col("n_tokens"))
+    )
     return mix.select(
         "stratum",
         "n_docs",

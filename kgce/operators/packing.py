@@ -43,6 +43,11 @@ from .textstats import _words
 # chunk_slices call stacked another cached RDD) we keep AT MOST ONE live
 # handle: each call unpersists the previous base, and release_cache()
 # drops the last one explicitly (tests / long-lived drivers call it).
+# Caveat of the bounded handle: composing the results of TWO calls in
+# one lazy plan (a = token_offsets(c1); b = token_offsets(c2);
+# a.join(b)) leaves a's fork unprotected — the second call released its
+# cache, so a's subtree recomputes (correct, just two scans).
+# Materialize the first result before the second call when composing.
 _last_base: DataFrame | None = None
 
 

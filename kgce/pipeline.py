@@ -107,11 +107,31 @@ def clean_pages(
         )
     if repetition:
         out = textstats.repetition_filter(out, id_col="url", text_col="text")
+    if boilerplate_min_df is not None or eval_docs is not None:
+        # the stages below consume `out` from several subtrees (strip
+        # base + rejoin side, decontam shingle explode + rejoin); an
+        # unmaterialized fork would re-run the dedup window and the
+        # repetition HOFs once per consumer (CLAUDE.md multi-consumer
+        # trap) — materialize once.  In run_checkpointed the whole
+        # stage output lands as parquet anyway; this protects direct
+        # clean_pages()/run() callers.
+        from .operators.linking import _checkpoint
+
+        out = _checkpoint(out)
     if boilerplate_min_df is not None:
+        # key the strip by a (url, text) row key, NOT url: a url crawled
+        # twice with different content yields two surviving rows after
+        # the content-digest dedup, and a url-keyed rejoin would
+        # cross-pair them k x k.  The strip input is deduped per key so
+        # the rejoin is exactly 1:1 per surviving row.
+        rk = F.md5(F.concat_ws("\x00", F.col("url"), F.col("text")))
+        out = out.withColumn("_rk", rk)
         stripped = bp_ops.strip_boilerplate(
-            out, min_df=boilerplate_min_df, id_col="url"
-        ).withColumnRenamed("doc_id", "url")
-        out = out.drop("text").join(stripped, "url")  # inner: all-bp pages drop
+            out.select("_rk", "text").dropDuplicates(["_rk"]),
+            min_df=boilerplate_min_df,
+            id_col="_rk",
+        ).withColumnRenamed("doc_id", "_rk")
+        out = out.drop("text").join(stripped, "_rk").drop("_rk")
     if eval_docs is not None:
         flagged = dc.decontaminate(
             out,
@@ -172,6 +192,17 @@ def run_checkpointed(
         # bucketing, so the hygiene pass caches all-or-nothing (eval_docs
         # is a DataFrame — excluded from the resume-config fingerprint)
         clean_cfg = {k: v for k, v in clean.items() if not isinstance(v, DataFrame)}
+        ev = clean.get("eval_docs")
+        if ev is not None:
+            # the eval set must be part of the resume fingerprint: a
+            # resumed run with a DIFFERENT eval set silently reusing the
+            # cached clean output would leak the new benchmark into
+            # training data — the exact failure decontamination prevents
+            fp = ev.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64(*ev.columns)), F.lit(0)).alias("h"),
+            ).first()
+            clean_cfg["eval_docs_fingerprint"] = [int(fp.n), int(fp.h)]
         raw_pages = pages
         pages = runner.run_global(
             "clean_pages", lambda: clean_pages(raw_pages, **clean), config=clean_cfg

@@ -94,6 +94,60 @@ def test_checkpointed_clean_stage_resumes(spark, tmp_path):
     assert t1 == t2 and len(t1) > 0
 
 
+def test_clean_pages_duplicate_url_no_cross_pairing(spark):
+    """A url crawled twice with DIFFERENT content survives content dedup
+    as two rows; the boilerplate rejoin must stay 1:1 (a url-keyed join
+    would cross-pair them k x k)."""
+    footer = " site footer sentence here."
+    rows = []
+    for i in range(5):
+        rows.append(
+            {"url": "http://a/p", "warc_ts": None, "html": None,
+             "text": f"unique body number {i} alpha." + footer, "lang": "en"}
+        )
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    out = pipeline.clean_pages(
+        pages, exact_dedup=True, repetition=False, boilerplate_min_df=3
+    ).collect()
+    assert len(out) == 5  # one row per distinct content, no k^2 blowup
+    assert len({r.text for r in out}) == 5
+    assert all("footer" not in r.text for r in out)
+
+
+def test_mixing_weights_zero_target(spark):
+    """An explicit 0.0 target keeps nothing (not NaN->1.0), and an
+    all-zero target raises."""
+    import pytest as _pytest
+
+    from kgce.operators import mixing
+
+    df = spark.createDataFrame(
+        [(1, "en", "w " * 10), (2, "xx", "w " * 10)],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.stratum: r.keep_frac for r in
+           mixing.mixing_weights(df, {"en": 1.0, "xx": 0.0}).collect()}
+    assert out["xx"] == 0.0 and out["en"] == 1.0
+    with _pytest.raises(ValueError):
+        mixing.mixing_weights(df, {"en": 0.0})
+
+
+def test_checkpointed_clean_rejects_changed_eval_set(spark, tmp_path):
+    """Resuming with a DIFFERENT eval set must raise, not silently reuse
+    the cached decontamination output."""
+    import pytest as _pytest
+
+    from kgce.plans.lineage import StageConfigMismatch
+
+    pages = _pages(spark, 10, seed=33)
+    ev1 = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    ev2 = spark.createDataFrame([(1, "delta epsilon zeta")], "doc_id long, text string")
+    wd = str(tmp_path / "wk2")
+    pipeline.run_checkpointed(pages, wd, n_buckets=2, clean={"eval_docs": ev1})
+    with _pytest.raises(StageConfigMismatch):
+        pipeline.run_checkpointed(pages, wd, n_buckets=2, clean={"eval_docs": ev2})
+
+
 def test_upsert_parquet_merge_semantics(spark, tmp_path):
     """K6 MERGE analog: updates replace matching keys, keep the rest,
     and re-applying the same updates is a no-op (idempotent resume)."""
