@@ -684,6 +684,28 @@ def q_triangle_stats(spark, sf):
     return graph.triangle_stats(edges)
 
 
+def q_url_canonical(spark, sf):
+    """URL canonicalization: deterministic messy URLs (mixed-case
+    scheme/host, default port, tracking params, fragments) built from
+    doc_id — like the PII query's planted emails — then canonicalized in
+    one narrow JVM projection.  DuckDB replicates every regex step."""
+    from kgce.operators import urlnorm
+
+    docs = _t(spark, sf, "documents")
+    messy = F.concat(
+        F.lit("HTTP://Example"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".COM:80/Path/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?utm_source=x&b=2&a=1#frag")
+        ).otherwise(F.lit("?z=9&utm_campaign=c&a=1")),
+    )
+    return docs.select(
+        "doc_id", urlnorm.canonicalize_url(messy).alias("canon_url")
+    )
+
+
 def q_mixing_weights(spark, sf):
     """Corpus-mixture rebalancing: per-language token counts -> keep
     fractions realizing a 40/30/30 en/de/fr target token mix (binding
@@ -749,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontam_hits": q_decontam_hits,
         "mixing_weights": q_mixing_weights,
+        "url_canonical": q_url_canonical,
         "triangle_stats": q_triangle_stats,
         "boilerplate_sentences": q_boilerplate_sentences,
         "strip_boilerplate": q_strip_boilerplate,
@@ -1570,6 +1593,41 @@ def oracle_sql() -> dict[str, str]:
                    greatest(chunk_id * 512 - start_off, 0) AS doc_tok_start,
                    least((chunk_id + 1) * 512 - start_off, n_tokens) AS doc_tok_end
             FROM s
+        """,
+        "url_canonical": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     'HTTP://Example' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.COM:80/Path/' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1#frag'
+                             ELSE '?z=9&utm_campaign=c&a=1' END AS url
+              FROM documents
+            ),
+            n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM p),
+            parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path0,
+                regexp_extract(u, '\?(.*)$', 1) AS rawq
+              FROM n
+            ),
+            q AS (
+              SELECT *, array_to_string(list_sort(list_filter(
+                       string_split(rawq, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)(=.*)?$')
+                     )), '&') AS qq
+              FROM parts
+            )
+            SELECT doc_id,
+                   scheme || '://'
+                   || CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                             OR (scheme = 'https' AND hostport LIKE '%:443')
+                           THEN regexp_replace(hostport, ':\d+$', '')
+                           ELSE hostport END
+                   || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+                   || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canon_url
+            FROM q
         """,
         "triangle_stats": f"""
             WITH m AS ({{mentions}}),

@@ -280,6 +280,36 @@ def test_decontaminate_flags_planted_leak(spark):
     assert "BroadcastHashJoin" in plan  # eval grams broadcast, corpus narrow
 
 
+def test_url_canonicalization(spark):
+    """Case, default ports, fragments, tracking params, param order, and
+    empty paths all normalize; non-default ports and https :80 survive;
+    duplicate groups pick the lexicographically smallest raw keeper."""
+    from kgce.operators import urlnorm
+
+    cases = [
+        ("HTTP://Example.COM:80/a?utm_source=x&b=2#top", "http://example.com/a?b=2"),
+        ("http://example.com/a?b=2", "http://example.com/a?b=2"),
+        ("https://Host.io:443/", "https://host.io/"),
+        ("https://host.io:8443/x", "https://host.io:8443/x"),
+        ("https://host.io:80/x", "https://host.io:80/x"),  # :80 not default for https
+        ("http://h.co", "http://h.co/"),
+        ("http://h.co?z=1&a=2&gclid=abc", "http://h.co/?a=2&z=1"),
+        ("http://h.co/p?fbclid=1&utm_campaign=c", "http://h.co/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(urlnorm.canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    groups = {
+        r.canon_url: (r.n_urls, r.keeper_url)
+        for r in urlnorm.canonical_url_groups(df).collect()
+    }
+    assert groups["http://example.com/a?b=2"] == (
+        2, "HTTP://Example.COM:80/a?utm_source=x&b=2#top"
+    )
+
+
 def test_boilerplate_detection_and_strip(spark):
     """Planted footer repeats across docs -> detected at min_df and
     stripped; unique sentences survive in original order; a doc that is
