@@ -65,6 +65,7 @@ def canonical_triples(
 
 def clean_pages(
     pages: DataFrame,
+    canonical_urls: bool = False,
     exact_dedup: bool = True,
     repetition: bool = True,
     boilerplate_min_df: int | None = None,
@@ -75,6 +76,8 @@ def clean_pages(
     """Crawl-hygiene pre-pass composing the training-data operators, in
     the standard order cheap-narrow-first:
 
+    0. url canonicalization (optional) — rewrite urls to canonical form
+       so every later url key is variant-stable (pure narrow);
     1. exact dedup — one digest-keyed window keeps the lowest-url copy
        of each normalized text (the only shuffle of the raw corpus);
     2. repetition filter — pure narrow Gopher-style thresholds;
@@ -98,6 +101,13 @@ def clean_pages(
     from .operators.dedup import normalize_doc
 
     out = pages
+    if canonical_urls:
+        # rewrite urls to canonical form FIRST so the digest dedup's
+        # lowest-url keeper and all downstream url keys are stable
+        # across tracking-param/case/port variants of the same resource
+        from .operators.urlnorm import canonicalize_url
+
+        out = out.withColumn("url", canonicalize_url(F.col("url")))
     if exact_dedup:
         w = Window.partitionBy(F.md5(normalize_doc(F.col("text")))).orderBy("url")
         out = (

@@ -114,6 +114,20 @@ def test_clean_pages_duplicate_url_no_cross_pairing(spark):
     assert all("footer" not in r.text for r in out)
 
 
+def test_clean_pages_canonical_urls(spark):
+    """canonical_urls=True rewrites url variants to one form, making
+    them exact duplicates for the digest dedup's keeper choice."""
+    rows = [
+        {"url": "HTTP://A.com:80/x?utm_source=s", "warc_ts": None, "html": None,
+         "text": "same body text here", "lang": "en"},
+        {"url": "http://a.com/x", "warc_ts": None, "html": None,
+         "text": "same body text here", "lang": "en"},
+    ]
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    out = pipeline.clean_pages(pages, canonical_urls=True, repetition=False).collect()
+    assert len(out) == 1 and out[0].url == "http://a.com/x"
+
+
 def test_mixing_weights_zero_target(spark):
     """An explicit 0.0 target keeps nothing (not NaN->1.0), and an
     all-zero target raises."""
