@@ -684,6 +684,26 @@ def q_triangle_stats(spark, sf):
     return graph.triangle_stats(edges)
 
 
+def q_quality_sample(spark, sf):
+    """Quality-banded consistent sampling (GPT-3-style downsampling):
+    keep all docs scoring >= 0.75, half of [0.72, 0.75), a tenth below —
+    bands placed inside the synthetic corpus's actual score spread
+    (0.70-0.88) so every branch of the threshold filters — decided by
+    the same md5 hash bucket as every other sampler, so membership is
+    reproducible and growth-stable.  Pure narrow filter."""
+    docs = _t(spark, sf, "documents")
+    out = sampling.quality_hash_sample(
+        docs, bands=((0.75, 1.0), (0.72, 0.5), (0.0, 0.1))
+    )
+    from kgce.operators.textstats import quality_score_expr
+
+    return out.select(
+        "doc_id",
+        quality_score_expr("text").alias("quality_score"),
+        sampling.hash_bucket(F.col("doc_id"), salt="quality").alias("bucket"),
+    )
+
+
 def q_url_canonical(spark, sf):
     """URL canonicalization: deterministic messy URLs (mixed-case
     scheme/host, default port, tracking params, fragments) built from
@@ -772,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_hits": q_decontam_hits,
         "mixing_weights": q_mixing_weights,
         "url_canonical": q_url_canonical,
+        "quality_sample": q_quality_sample,
         "triangle_stats": q_triangle_stats,
         "boilerplate_sentences": q_boilerplate_sentences,
         "strip_boilerplate": q_strip_boilerplate,
@@ -801,6 +822,10 @@ _MENTIONS_P4 = mentions_sql(min_token_len=4)
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
+
+# composite quality score (6-decimal rounded) — single definition shared
+# by token_quality and the quality-banded sampler oracle
+_QUALITY_SQL: str  # assigned below, after _SW_EN/_NORM exist
 
 # marked sentence split — same two-regexp replica of the Python
 # splitter's lookbehind alternation proven in _fused_pipeline_sql
@@ -845,6 +870,16 @@ _PII_SQL = """
 _SW_EN = "'the','and','of','to','in','is','that','with','for','was'"
 _SW_DE = "'der','die','das','und','ist','nicht','mit','ein','von','zu'"
 _SW_FR = "'le','la','les','et','est','dans','pour','que','une','des'"
+
+_QUALITY_SQL = f"""round(
+                     (CASE WHEN len({_WORDS}) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN length(replace({_NORM}, ' ', '')) * 1.0 / greatest(len({_WORDS}),1)
+                             BETWEEN 2.5 AND 12.0 THEN 0.2 ELSE 0.0 END)
+                     + least(len(list_filter({_WORDS}, w -> w IN ({_SW_EN}))) * 1.0
+                             / greatest(len({_WORDS}),1) * 4.0, 1.0) * 0.3
+                     + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                    * 1.0 / greatest(length(text),1) * 5.0, 1.0)) * 0.1
+                   , 6)"""
 
 
 def _minhash_cols(num_hashes: int = 8) -> str:
@@ -1478,16 +1513,20 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars,
                    round(len(list_filter({_WORDS}, w -> w IN ({_SW_EN}))) * 1.0
                          / greatest(len({_WORDS}), 1), 6) AS stopword_ratio,
-                   round(
-                     (CASE WHEN len({_WORDS}) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
-                     + (CASE WHEN length(replace({_NORM}, ' ', '')) * 1.0 / greatest(len({_WORDS}),1)
-                             BETWEEN 2.5 AND 12.0 THEN 0.2 ELSE 0.0 END)
-                     + least(len(list_filter({_WORDS}, w -> w IN ({_SW_EN}))) * 1.0
-                             / greatest(len({_WORDS}),1) * 4.0, 1.0) * 0.3
-                     + (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                                    * 1.0 / greatest(length(text),1) * 5.0, 1.0)) * 0.1
-                   , 6) AS quality_score
+                   {_QUALITY_SQL} AS quality_score
             FROM documents
+        """,
+        "quality_sample": f"""
+            SELECT doc_id, {_QUALITY_SQL} AS quality_score,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':quality'), 1, 15))::BIGINT
+                     % 1000000 AS bucket
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':quality'), 1, 15))::BIGINT
+                    % 1000000
+                  < CASE WHEN {_QUALITY_SQL} >= 0.75 THEN 1000000
+                         WHEN {_QUALITY_SQL} >= 0.72 THEN 500000
+                         WHEN {_QUALITY_SQL} >= 0.0 THEN 100000
+                         ELSE 0 END
         """,
         "langid_counts": f"""
             SELECT lang_pred, count(*) AS n_docs FROM (

@@ -68,6 +68,36 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
 
 
+def quality_hash_sample(
+    df: DataFrame,
+    bands: tuple[tuple[float, float], ...] = ((0.6, 1.0), (0.4, 0.5), (0.0, 0.1)),
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "quality",
+) -> DataFrame:
+    """Quality-banded consistent sampling: keep fraction depends on the
+    document's quality band (the GPT-3-style quality-classifier
+    downsampling move — keep good text, thin poor text, all
+    reproducibly).
+
+    ``bands`` is ((min_score, keep_fraction), ...) — the FIRST band whose
+    min_score <= quality wins, so list them descending.  The decision is
+    still a pure narrow filter: the same md5 hash bucket as hash_sample,
+    compared against a per-row threshold chosen by the (6-decimal
+    rounded) quality score — growth-stable, engine-reproducible, no
+    shuffle, no state.
+    """
+    from .textstats import quality_score_expr
+
+    q = quality_score_expr(text_col)
+    threshold = F.lit(0)
+    for min_score, frac in sorted(bands):  # ascending: highest band wins last
+        threshold = F.when(
+            q >= min_score, F.lit(int(round(frac * _M)))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(key_col), salt) < threshold)
+
+
 def split_train_eval(
     df: DataFrame,
     eval_fraction: float,

@@ -38,13 +38,11 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + a composite score in [0, 1].
-
-    Features mirror standard crawl-filtering recipes: length band,
-    punctuation density, stopword ratio, mean word length.
-    """
-    text = F.col(text_col)
+def _quality_parts(text_col):
+    """The shared quality-feature expressions (single definition used by
+    quality_scores and the quality-banded sampler, so the graded SQL
+    fragment mirrors exactly one formula)."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
     words = _words(text)
     n_words = F.size(words)
     n_chars = F.length(text)
@@ -62,6 +60,23 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.1
     )
+    return n_words, punct_ratio, stop_ratio, mean_wlen, score
+
+
+def quality_score_expr(text_col) -> "F.Column":
+    """Composite quality score in [0, 1], rounded to 6 decimals — the
+    banding resolution every consumer (and the DuckDB twin) compares at,
+    so threshold decisions cannot flip on sub-round noise."""
+    return F.round(_quality_parts(text_col)[4], 6)
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1].
+
+    Features mirror standard crawl-filtering recipes: length band,
+    punctuation density, stopword ratio, mean word length.
+    """
+    n_words, punct_ratio, stop_ratio, mean_wlen, score = _quality_parts(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),

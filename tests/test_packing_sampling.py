@@ -212,6 +212,28 @@ def test_stratified_fractions_applied(spark, docs):
     assert out.count() == n_en  # fraction 1.0 keeps every English doc
 
 
+def test_quality_hash_sample_bands(spark):
+    """Higher-quality bands keep (strictly) more; full-keep band keeps
+    everything; membership is deterministic and a pure narrow filter."""
+    rows = [
+        (i, "the quick brown fox is that with for was and of to in " * 3)
+        for i in range(200)
+    ] + [(1000 + i, "zxq") for i in range(200)]  # short, low-quality docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.quality_hash_sample(
+        df, bands=((0.5, 1.0), (0.0, 0.1)), key_col="doc_id"
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert {i for i in range(200)} <= got          # high band keeps all
+    low_kept = {d for d in got if d >= 1000}
+    assert 0 < len(low_kept) < 80                  # ~10% of the low band
+    got2 = {r.doc_id for r in sampling.quality_hash_sample(
+        df, bands=((0.5, 1.0), (0.0, 0.1))).select("doc_id").collect()}
+    assert got == got2                             # deterministic
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan                  # pure narrow filter
+
+
 def test_split_train_eval_disjoint_exhaustive(spark, docs):
     train, ev = sampling.split_train_eval(docs, 0.2)
     t = {r.doc_id for r in train.select("doc_id").collect()}
