@@ -80,8 +80,9 @@ def quality_hash_sample(
     downsampling move — keep good text, thin poor text, all
     reproducibly).
 
-    ``bands`` is ((min_score, keep_fraction), ...) — the FIRST band whose
-    min_score <= quality wins, so list them descending.  The decision is
+    ``bands`` is ((min_score, keep_fraction), ...) in ANY order — the
+    band with the HIGHEST min_score <= quality wins (bands are sorted
+    internally; docs below every min_score keep 0).  The decision is
     still a pure narrow filter: the same md5 hash bucket as hash_sample,
     compared against a per-row threshold chosen by the (6-decimal
     rounded) quality score — growth-stable, engine-reproducible, no
