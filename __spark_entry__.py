@@ -1642,9 +1642,9 @@ def oracle_sql() -> dict[str, str]:
                              ELSE '?z=9&utm_campaign=c&a=1' END AS url
               FROM documents
             ),
-            n AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM p),
+            n AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM p),
             parts AS (
-              SELECT doc_id,
+              SELECT doc_id, url,
                 lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                 lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
                 regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path0,
@@ -1659,13 +1659,15 @@ def oracle_sql() -> dict[str, str]:
               FROM parts
             )
             SELECT doc_id,
-                   scheme || '://'
-                   || CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
-                             OR (scheme = 'https' AND hostport LIKE '%:443')
-                           THEN regexp_replace(hostport, ':\d+$', '')
-                           ELSE hostport END
-                   || CASE WHEN path0 = '' THEN '/' ELSE path0 END
-                   || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS canon_url
+                   CASE WHEN scheme = '' THEN url ELSE
+                     scheme || '://'
+                     || CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+                               OR (scheme = 'https' AND hostport LIKE '%:443')
+                             THEN regexp_replace(hostport, ':\d+$', '')
+                             ELSE hostport END
+                     || CASE WHEN path0 = '' THEN '/' ELSE path0 END
+                     || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END
+                   END AS canon_url
             FROM q
         """,
         "triangle_stats": f"""

@@ -29,7 +29,10 @@ _TRACKING = r"^(utm_[^=]*|gclid|fbclid)(=.*)?$"
 
 
 def canonicalize_url(col) -> Column:
-    """Canonical form of a URL column (see module docstring)."""
+    """Canonical form of a URL column (see module docstring).  Inputs
+    without a ``scheme://`` prefix (relative refs, junk frontier
+    entries) pass through unchanged rather than collapsing to a
+    malformed ``://`` string."""
     no_frag = F.regexp_replace(col, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
@@ -48,13 +51,14 @@ def canonicalize_url(col) -> Column:
         )
     )
     query = F.array_join(params, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
+    return F.when(scheme == "", col).otherwise(canon)
 
 
 def canonical_url_groups(

@@ -295,6 +295,8 @@ def test_url_canonicalization(spark):
         ("http://h.co", "http://h.co/"),
         ("http://h.co?z=1&a=2&gclid=abc", "http://h.co/?a=2&z=1"),
         ("http://h.co/p?fbclid=1&utm_campaign=c", "http://h.co/p"),
+        ("relative/path?a=1", "relative/path?a=1"),  # scheme-less passthrough
+        ("not a url at all", "not a url at all"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
