@@ -99,9 +99,13 @@ def strip_boilerplate(
     2. document frequency = one digest-keyed groupBy over the per-doc
        DISTINCT exploded sentences (the unavoidable inverted-index
        shuffle);
-    3. the min_df digest set is BROADCAST back onto the exploded
-       sentences; only MATCHING rows shuffle into per-doc boilerplate
-       digest lists;
+    3. the min_df digest set is joined back onto the exploded sentences
+       UNHINTED — the df>=min_df set is corpus-proportional in the worst
+       case (templated spam at crawl scale: 10^8-10^9 digests), and an
+       explicit broadcast hint would override autoBroadcastJoinThreshold
+       and OOM the driver; AQE broadcasts at runtime when the set
+       measures small and shuffle-joins otherwise.  Only MATCHING rows
+       shuffle into per-doc boilerplate digest lists;
     4. the doc-keyed join of those small lists onto the cached base is
        exchange-reusable (base arrives hash-keyed on doc_id when the
        input guard ran), and the final text is a per-row
@@ -124,7 +128,7 @@ def strip_boilerplate(
         .select("sent_md5")
     )
     doc_bp = (
-        exploded.join(F.broadcast(bp), F.md5(exploded.sent) == bp.sent_md5)
+        exploded.join(bp, F.md5(exploded.sent) == bp.sent_md5)
         .groupBy("doc_id")
         .agg(F.collect_set("sent_md5").alias("_bad"))
     )

@@ -43,13 +43,18 @@ def canonical_triples(
     trips = (
         trips.withColumn("_subj_norm", linking.normalize_text(F.col("subj_text")))
         .withColumn("_obj_norm", linking.normalize_text(F.col("obj_text")))
-        .join(F.broadcast(subj), "_subj_norm", "left")
-        .join(F.broadcast(obj), "_obj_norm", "left")
+        .join(subj, "_subj_norm", "left")
+        .join(obj, "_obj_norm", "left")
         .drop("_subj_norm", "_obj_norm")
     )
-    # a vocabulary is bounded (≪ mention count) but can still exceed the
-    # broadcast threshold at full scale; Spark falls back to shuffle join
-    # automatically when the hint loses to autoBroadcastJoinThreshold.
+    # deliberately UNHINTED: an explicit broadcast hint OVERRIDES
+    # autoBroadcastJoinThreshold (there is no automatic fallback), and the
+    # normalized-surface-form vocabulary is corpus-proportional in the
+    # worst case — many GB at 10^12 pages, past the BroadcastExchange
+    # limit.  With AQE on (session.py) Spark broadcasts at RUNTIME when
+    # the built map measures small and shuffle-joins otherwise; the skew
+    # handling at this entity-linking join stays with AQE's skew-join
+    # splitting either way (tests/test_plans.py pins both regimes).
     return trips.select(
         "subj_id",
         "pred",
@@ -236,16 +241,20 @@ def run_checkpointed(
         config={"threshold": link_threshold},
     )
     canon_map = canon.select("norm", "canonical_id")
+    # unhinted for the same reason as canonical_triples: the canonical map
+    # can outgrow any broadcast limit at crawl scale, and a hint would
+    # force the broadcast regardless of autoBroadcastJoinThreshold.  AQE
+    # picks broadcast at runtime when the map is actually small.
     trips = (
         trips.withColumn("_sn", linking.normalize_text(F.col("subj_text")))
         .withColumn("_on", linking.normalize_text(F.col("obj_text")))
         .join(
-            F.broadcast(canon_map.withColumnRenamed("norm", "_sn").withColumnRenamed("canonical_id", "subj_id")),
+            canon_map.withColumnRenamed("norm", "_sn").withColumnRenamed("canonical_id", "subj_id"),
             "_sn",
             "left",
         )
         .join(
-            F.broadcast(canon_map.withColumnRenamed("norm", "_on").withColumnRenamed("canonical_id", "obj_id")),
+            canon_map.withColumnRenamed("norm", "_on").withColumnRenamed("canonical_id", "obj_id"),
             "_on",
             "left",
         )
