@@ -1643,13 +1643,21 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             n AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM p),
+            -- userinfo split mirrors kgce.operators.urlnorm: only the
+            -- host[:port] part of the authority is lowercased
+            auth0 AS (
+              SELECT doc_id, url, u,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS auth
+              FROM n
+            ),
             parts AS (
               SELECT doc_id, url,
                 lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+                regexp_extract(auth, '^(.*@)', 1) AS userinfo,
+                lower(regexp_replace(auth, '^.*@', '')) AS hostport,
                 regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path0,
                 regexp_extract(u, '\?(.*)$', 1) AS rawq
-              FROM n
+              FROM auth0
             ),
             q AS (
               SELECT *, array_to_string(list_sort(list_filter(
@@ -1660,7 +1668,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CASE WHEN scheme = '' THEN url ELSE
-                     scheme || '://'
+                     scheme || '://' || userinfo
                      || CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
                                OR (scheme = 'https' AND hostport LIKE '%:443')
                              THEN regexp_replace(hostport, ':\d+$', '')
@@ -1758,13 +1766,17 @@ def oracle_sql() -> dict[str, str]:
               FROM mix
             ),
             tot AS (
+              -- t > 0 guard mirrors mixing_weights' `positive` predicate
+              -- exactly (ADVICE r3: an explicit 0.0 target must behave
+              -- like an unlisted stratum on BOTH engines, not NaN here)
               SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
-                     min(CASE WHEN t IS NOT NULL THEN n_tokens / t END) AS bound
+                     min(CASE WHEN t IS NOT NULL AND t > 0
+                              THEN n_tokens / t END) AS bound
               FROM tgt
             )
             SELECT stratum, n_docs, n_tokens,
                    round(n_tokens / tt::DOUBLE, 6) AS share,
-                   CASE WHEN t IS NULL THEN 0.0::DOUBLE
+                   CASE WHEN t IS NULL OR t <= 0 THEN 0.0::DOUBLE
                         ELSE round(least(1.0::DOUBLE, t * bound / n_tokens), 6)
                    END AS keep_frac
             FROM tgt, tot

@@ -68,18 +68,17 @@ def boilerplate_sentences(
 # strip_boilerplate forks its DAG (boilerplate-set branch + kept-sentence
 # branch); without materialization each branch re-scans the corpus and
 # re-runs the regex sentence split — the CPU-dominant step.  Same bounded
-# single-handle persist pattern as packing.token_offsets: at most one
-# live cached frame, released on the next call or explicitly.
-_last_sents: DataFrame | None = None
+# lock-guarded single-slot persist as packing.token_offsets (semantics
+# documented on plans.cacheslot.CacheSlot — ADVICE r3).
+from ..plans.cacheslot import CacheSlot
+
+_slot = CacheSlot()
 
 
 def release_cache() -> None:
     """Unpersist the sentence frame cached by the most recent
     ``strip_boilerplate`` call (no-op if none)."""
-    global _last_sents
-    if _last_sents is not None:
-        _last_sents.unpersist(blocking=False)
-        _last_sents = None
+    _slot.release()
 
 
 def strip_boilerplate(
@@ -111,13 +110,11 @@ def strip_boilerplate(
        input guard ran), and the final text is a per-row
        filter/transform/array_join — no re-concat aggregation.
     """
-    global _last_sents
-    release_cache()
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         sentence_segments(F.col(text_col)).alias("ss"),
     ).persist()
-    _last_sents = base
+    _slot.swap(base)
     exploded = base.select(
         "doc_id", F.explode(F.array_distinct("ss")).alias("sent")
     )

@@ -41,23 +41,17 @@ from .textstats import _words
 # materializes it, so we cannot unpersist inside the function.  To stop
 # the session-lifetime cache leak (ADVICE r2: every pack_sequences +
 # chunk_slices call stacked another cached RDD) we keep AT MOST ONE live
-# handle: each call unpersists the previous base, and release_cache()
-# drops the last one explicitly (tests / long-lived drivers call it).
-# Caveat of the bounded handle: composing the results of TWO calls in
-# one lazy plan (a = token_offsets(c1); b = token_offsets(c2);
-# a.join(b)) leaves a's fork unprotected — the second call released its
-# cache, so a's subtree recomputes (correct, just two scans).
-# Materialize the first result before the second call when composing.
-_last_base: DataFrame | None = None
+# frame in a lock-guarded CacheSlot (single-consumer semantics and the
+# composition caveat are documented on the class — ADVICE r3).
+from ..plans.cacheslot import CacheSlot
+
+_slot = CacheSlot()
 
 
 def release_cache() -> None:
     """Unpersist the narrow base cached by the most recent
     ``token_offsets`` call (no-op if none)."""
-    global _last_base
-    if _last_base is not None:
-        _last_base.unpersist(blocking=False)
-        _last_base = None
+    _slot.release()
 
 
 def _range_bucket(id_col: str, lo: int, hi: int, n_buckets: int):
@@ -96,14 +90,12 @@ def token_offsets(
     # that into ONE scan of the (100 TB) text and keeps every later pass
     # on the tiny frame; persist (not localCheckpoint) keeps lineage for
     # fault-tolerant recompute on a real cluster.
-    global _last_base
-    release_cache()
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         weight.alias("n_tokens"),
         _range_bucket(id_col, lo, hi, n_buckets).alias("_pb"),
     ).persist()
-    _last_base = base
+    _slot.swap(base)
     local = Window.partitionBy("_pb").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )

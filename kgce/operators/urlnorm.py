@@ -6,7 +6,8 @@ and `http://site.com/a?b=2`.  The canonical form here applies the
 standard normalizations (RFC 3986 syntax-based + the usual tracking
 hygiene):
 
-* scheme and host lowercased;
+* scheme and host lowercased (userinfo, if any, keeps its case — RFC
+  3986 §6.2.2.1 makes only scheme and host case-insensitive);
 * default ports stripped (:80 for http, :443 for https);
 * fragment dropped;
 * tracking parameters removed (utm_*, gclid, fbclid);
@@ -35,7 +36,12 @@ def canonicalize_url(col) -> Column:
     malformed ``://`` string."""
     no_frag = F.regexp_replace(col, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    auth = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    # RFC 3986 makes only scheme and host case-insensitive — userinfo
+    # keeps its case (ADVICE r3: http://User@h.co != http://user@h.co).
+    # Greedy ^.*@ splits at the LAST '@': a host can never contain one.
+    userinfo = F.regexp_extract(auth, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
     host = F.when(
         ((scheme == "http") & hostport.endswith(":80"))
         | ((scheme == "https") & hostport.endswith(":443")),
@@ -54,6 +60,7 @@ def canonicalize_url(col) -> Column:
     canon = F.concat(
         scheme,
         F.lit("://"),
+        userinfo,
         host,
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),

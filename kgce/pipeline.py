@@ -148,15 +148,52 @@ def clean_pages(
         ).withColumnRenamed("doc_id", "_rk")
         out = out.drop("text").join(stripped, "_rk").drop("_rk")
     if eval_docs is not None:
+        # key by the same md5(url, text) ROW key as the boilerplate strip
+        # (ADVICE r3): a url crawled twice with different content keeps
+        # two rows after the content-digest dedup, and a url-keyed pass
+        # would pool (and double-count) n-grams across those rows AND
+        # drop every row of a url when only one overlaps the eval set.
+        out = out.withColumn(
+            "_rk", F.md5(F.concat_ws("\x00", F.col("url"), F.col("text")))
+        )
         flagged = dc.decontaminate(
             out,
             eval_docs,
             n=decontam_n,
             min_hits=decontam_min_hits,
-            id_col="url",
+            id_col="_rk",
         )
-        out = flagged.filter(~F.col("contaminated")).drop("n_hits", "contaminated")
+        out = flagged.filter(~F.col("contaminated")).drop(
+            "_rk", "n_hits", "contaminated"
+        )
     return out
+
+
+def eval_set_fingerprint(ev: DataFrame) -> list[int]:
+    """[row_count, content_hash] resume fingerprint of an eval set.
+
+    XOR over plain row hashes cancels duplicate rows (x ^ x = 0), so two
+    different eval sets whose delta is a duplicated PAIR would collide
+    (ADVICE r3) — and a resumed run would silently reuse a stale cached
+    clean stage, the exact leakage decontamination exists to prevent.
+    Folding each distinct row's MULTIPLICITY into the hashed value makes
+    duplicates non-cancelling: adding a second copy of row r changes
+    xxhash64(r, 1) to xxhash64(r, 2), a different contribution.  One
+    groupBy over the (small) eval set; order-independent via bit_xor.
+    """
+    cols = [F.col(c) for c in ev.columns]
+    fp = (
+        ev.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_kgce_mult"))
+        .agg(
+            F.sum("_kgce_mult").alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(*cols, F.col("_kgce_mult"))), F.lit(0)
+            ).alias("h"),
+        )
+        .first()
+    )
+    return [int(fp.n or 0), int(fp.h)]
 
 
 def run(
@@ -213,11 +250,7 @@ def run_checkpointed(
             # resumed run with a DIFFERENT eval set silently reusing the
             # cached clean output would leak the new benchmark into
             # training data — the exact failure decontamination prevents
-            fp = ev.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.bit_xor(F.xxhash64(*ev.columns)), F.lit(0)).alias("h"),
-            ).first()
-            clean_cfg["eval_docs_fingerprint"] = [int(fp.n), int(fp.h)]
+            clean_cfg["eval_docs_fingerprint"] = eval_set_fingerprint(ev)
         raw_pages = pages
         pages = runner.run_global(
             "clean_pages", lambda: clean_pages(raw_pages, **clean), config=clean_cfg

@@ -297,6 +297,10 @@ def test_url_canonicalization(spark):
         ("http://h.co/p?fbclid=1&utm_campaign=c", "http://h.co/p"),
         ("relative/path?a=1", "relative/path?a=1"),  # scheme-less passthrough
         ("not a url at all", "not a url at all"),
+        # userinfo keeps its case — RFC 3986 lowercases only scheme+host
+        # (ADVICE r3); host normalization still applies around it
+        ("HTTP://User:Pw@Host.COM:80/x", "http://User:Pw@host.com/x"),
+        ("http://alice@H.co/p?b=1", "http://alice@h.co/p?b=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [

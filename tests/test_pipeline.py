@@ -128,6 +128,46 @@ def test_clean_pages_canonical_urls(spark):
     assert len(out) == 1 and out[0].url == "http://a.com/x"
 
 
+def test_clean_pages_decontam_is_row_keyed(spark):
+    """A url crawled twice with different content: only the row that
+    actually overlaps the eval set drops (ADVICE r3 — a url-keyed pass
+    pooled n-grams across rows and dropped the clean sibling too)."""
+    leak = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    rows = [
+        {"url": "http://a/p", "warc_ts": None, "html": None,
+         "text": "clean body entirely unrelated words number one here okay", "lang": "en"},
+        {"url": "http://a/p", "warc_ts": None, "html": None,
+         "text": "prefix words " + leak + " suffix words", "lang": "en"},
+    ]
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    ev = spark.createDataFrame([("e1", leak)], "doc_id string, text string")
+    out = pipeline.clean_pages(
+        pages, exact_dedup=False, repetition=False, eval_docs=ev, decontam_n=5
+    ).collect()
+    assert len(out) == 1
+    assert out[0].text.startswith("clean body")
+    assert set(out[0].asDict()) == set(rows[0])  # helper cols dropped
+
+
+def test_eval_fingerprint_duplicate_pairs_do_not_cancel(spark):
+    """ADVICE r3: XOR of plain row hashes cancels duplicate PAIRS, so
+    equal-cardinality eval sets differing only in which row is
+    duplicated collided.  Multiplicity-folded hashes must differ."""
+    ev1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c")], "doc_id long, text string"
+    )
+    ev2 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d"), (4, "d")], "doc_id long, text string"
+    )
+    f1, f2 = pipeline.eval_set_fingerprint(ev1), pipeline.eval_set_fingerprint(ev2)
+    assert f1[0] == f2[0] == 4
+    assert f1[1] != f2[1]
+    # deterministic across recomputation
+    assert pipeline.eval_set_fingerprint(ev1) == f1
+    # and empty input is stable, not an error
+    assert pipeline.eval_set_fingerprint(ev1.limit(0)) == [0, 0]
+
+
 def test_mixing_weights_zero_target(spark):
     """An explicit 0.0 target keeps nothing (not NaN->1.0), and an
     all-zero target raises."""
