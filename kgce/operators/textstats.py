@@ -126,24 +126,44 @@ def _grams(words, n: int):
 def _top_gram_cover(words, n: int):
     """Fraction of word characters covered by the most frequent n-gram
     (count x gram char-length / total word chars) — the Gopher/Dolma
-    repetition heuristic.  Ties on count break to the longer gram."""
-    grams = _grams(words, n)
-    counts = F.transform(grams, lambda g: F.size(F.filter(grams, lambda y: y == g)))
-    # ONE array_max over (count, charlen) structs: lexicographic struct
-    # ordering = most frequent gram, ties to the longest.  (Referencing a
-    # precomputed array_max(counts) INSIDE a per-element lambda re-evaluates
-    # the O(k^2) counts array per element -> O(k^3) per row; this stays k^2.)
-    best = F.array_max(
-        F.zip_with(
-            grams,
-            counts,
-            lambda g, c: F.struct(
-                c.alias("c"), F.length(F.regexp_replace(g, " ", "")).alias("l")
-            ),
-        )
+    repetition heuristic.  Ties on count break to the longer gram.
+
+    O(k log k) sort + O(k) run-length fold, NOT the O(k^2) per-gram
+    self-count: occurrence counts of a sorted array are run lengths, and
+    the max over (count, charlen) structs is the same lexicographic max
+    the old ``array_max(zip_with(grams, counts, ...))`` form computed
+    (every run contributes the identical (c, l) its occurrences did;
+    ``_grams`` always yields >= 1 element, so the empty-array/null edge
+    cannot diverge).  The quadratic form cost 57 s for 500 sf0.01 docs
+    on one core — and consumers that inline this expression into a
+    FILTER predicate evaluate it up to 4x (Catalyst pushes predicates
+    through projects by re-substituting the aliased expression, so
+    pre-projecting does NOT deduplicate; measured identical 57 s) —
+    the fold form makes every duplicate evaluation cheap instead of
+    fighting the optimizer."""
+    grams = F.array_sort(_grams(words, n))
+    zero = F.lit(0)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        F.struct(zero.alias("c"), zero.alias("l")).alias("best"),
     )
+
+    def _step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        cand = F.struct(
+            run.alias("c"), F.length(F.regexp_replace(g, " ", "")).alias("l")
+        )
+        best = F.when(cand > acc["best"], cand).otherwise(acc["best"])
+        return F.struct(g.alias("prev"), run.alias("run"), best.alias("best"))
+
+    # the finish lambda folds the c*l product INSIDE the aggregate, so a
+    # consumer referencing the cover once evaluates the fold once —
+    # best["c"] * best["l"] outside would expand the whole aggregate per
+    # field access (2x per predicate, 4x across a filter's conjuncts)
+    covered = F.aggregate(grams, init, _step, lambda acc: acc["best"]["c"] * acc["best"]["l"])
     total = F.greatest(F.length(F.array_join(words, "")), F.lit(1))
-    return best["c"] * best["l"] / total
+    return covered / total
 
 
 def repetition_signals(

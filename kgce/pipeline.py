@@ -121,6 +121,14 @@ def clean_pages(
             .drop("_rn")
         )
     if repetition:
+        # the repetition HOFs are CPU-heavy per row while the rows are
+        # tiny in BYTES, so AQE's byte-based coalescing collapses the
+        # dedup-window output to one partition in the small-corpus
+        # regime and serializes the filter; the keyed guard restores
+        # parallelism (and is a no-op at production split counts)
+        from .plans.partitioning import ensure_min_partitions
+
+        out = ensure_min_partitions(out, key="url")
         out = textstats.repetition_filter(out, id_col="url", text_col="text")
     if boilerplate_min_df is not None or eval_docs is not None:
         # the stages below consume `out` from several subtrees (strip
