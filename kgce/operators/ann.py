@@ -371,6 +371,57 @@ def ivf_topk(
     return cosine_topk(cand.drop("_cid"), query_vec, k, id_col, vec_col)
 
 
+def ivf_topk_bcast(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF top-k against a 1-row query DataFrame — no driver collect of
+    the query vector (r3 VERDICT #6: the list-literal twin re-scanned
+    the table for the qvec, a full second pass at corpus scale).
+
+    Probe selection moves JVM-side but replicates ``_probe_ids``
+    bit-for-bit: per-centroid score = dot(q, c) / |c| with the same
+    strict left-to-right double fold and the same literal |c|, ranked by
+    array_sort over struct(-score, cid) — exactly the Python
+    ``sorted((-score, cid))`` tie-break (smaller cid wins).  The 1-row
+    (qvec, qnorm, probes[]) frame broadcasts onto the narrow
+    plan-literal cell assignment; the cosine itself matches
+    cosine_topk_bcast's widened-float arithmetic.
+    """
+    if centroids is None:
+        centroids = seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    qd = F.col(vec_col).cast("array<double>")
+    ranked = []
+    for cid, cvec in centroids:
+        cn = _py_dot(cvec, cvec) ** 0.5
+        s = _dot(qd, F.array(*[F.lit(float(x)) for x in cvec])) / F.lit(cn)
+        ranked.append(F.struct((-s).alias("ns"), F.lit(cid).alias("cid")))
+    probe_ids = F.transform(
+        F.slice(F.array_sort(F.array(*ranked)), 1, n_probe),
+        lambda st: st.getField("cid"),
+    )
+    q = query.select(
+        qd.alias("_qv"), _norm(qd).alias("_qn"), probe_ids.alias("_probes")
+    )
+    cand = (
+        ivf_assign(embeddings, centroids, vec_col)
+        .crossJoin(F.broadcast(q))
+        .filter(F.array_contains(F.col("_probes"), F.col("_cid")))
+    )
+    cos = _dot(F.col(vec_col), F.col("_qv")) / (_norm(F.col(vec_col)) * F.col("_qn"))
+    return (
+        cand.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     path: str,

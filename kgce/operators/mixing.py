@@ -21,9 +21,10 @@ large-scale training-data pipeline would need").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import tiny_global_window
 from .textstats import _words
 
 
@@ -35,7 +36,9 @@ def corpus_mix(
         F.count("*").alias("n_docs"),
         F.sum(F.size(_words(F.col(text_col))).cast("long")).alias("n_tokens"),
     )
-    total = Window.partitionBy()  # single-row total over the tiny stratum frame
+    # global frame over the tiny per-stratum aggregate (strata are
+    # languages/sources — bounded; see tiny_global_window docstring)
+    total = tiny_global_window()
     return agg.withColumn(
         "share",
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6),
@@ -63,7 +66,7 @@ def mixing_weights(
     for k, v in sorted(target.items()):
         tcol = F.when(F.col("stratum") == k, F.lit(v / z)).otherwise(tcol)
     mix = corpus_mix(docs, strata_col, text_col).withColumn("t", tcol)
-    w = Window.partitionBy()
+    w = tiny_global_window()  # same bounded per-stratum frame as corpus_mix
     # an explicit 0.0 target behaves like an unlisted stratum (keep 0) —
     # and must not enter the bound fold, where n_tokens/0.0 = Inf and
     # 0.0 * Inf = NaN would silently turn keep_frac into 1.0

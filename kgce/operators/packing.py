@@ -44,6 +44,7 @@ from .textstats import _words
 # frame in a lock-guarded CacheSlot (single-consumer semantics and the
 # composition caveat are documented on the class — ADVICE r3).
 from ..plans.cacheslot import CacheSlot
+from ..plans.partitioning import tiny_global_window
 
 _slot = CacheSlot()
 
@@ -101,7 +102,9 @@ def token_offsets(
     )
     d = base.withColumn("_local", F.coalesce(F.sum("n_tokens").over(local), F.lit(0)))
     totals = base.groupBy("_pb").agg(F.sum("n_tokens").alias("_tot"))
-    base_w = Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
+    # level-2 prefix sum runs over exactly n_buckets rows (bounded by
+    # construction — see tiny_global_window docstring)
+    base_w = tiny_global_window("_pb").rowsBetween(Window.unboundedPreceding, -1)
     bases = totals.withColumn("_base", F.coalesce(F.sum("_tot").over(base_w), F.lit(0))).select(
         "_pb", "_base"
     )

@@ -203,10 +203,12 @@ class StageRunner:
 
 def keep_latest_n(manifest_df: DataFrame, n: int, order_col: str = "wall_ms") -> DataFrame:
     """K5/W6 retention pattern (reference checkpoint GC, task.py:146-151):
-    newest N by a monotonic column; the complement is the GC set."""
-    from pyspark.sql import Window
+    newest N by a monotonic column; the complement is the GC set.
+    Manifests are one row per bucket per attempt — bounded, so the
+    global window is safe (tiny_global_window docstring)."""
+    from .partitioning import tiny_global_window
 
-    w = Window.orderBy(F.desc(order_col))
+    w = tiny_global_window(F.desc(order_col))
     return (
         manifest_df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n)

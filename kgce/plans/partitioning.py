@@ -54,3 +54,29 @@ def ensure_min_partitions(
     if key is not None:
         return df.repartition(min_parts, key)
     return df.repartition(min_parts)
+
+
+def tiny_global_window(*order_cols):
+    """Unpartitioned WindowSpec for provably BOUNDED-cardinality frames.
+
+    Every call site operates on a frame whose row count is bounded by
+    construction — top-k outputs (k <= 20), per-stratum mixture stats
+    (strata = languages/sources), the n_buckets-row prefix-sum totals in
+    packing, checkpoint-retention manifests — so WindowExec's "No
+    Partition Defined ... serious performance degradation" warning is
+    expected and harmless: moving <= a few hundred rows to one task IS
+    the plan.  Using this helper instead of a bare ``Window.orderBy``
+    marks the bound at the call site (r3 VERDICT #7).
+
+    A ``partitionBy(lit(1))`` silencer does NOT work: Catalyst folds
+    literal partition keys out of the window spec (verified on Spark
+    4.1 — the executed plan shows an empty partitionSpec and the warning
+    still fires), so the honest fix is this documented bound, not a
+    fake key.  NEVER use for data-proportional frames — those need a
+    real partition key (see packing's two-level prefix sum).
+    """
+    from pyspark.sql import Window
+
+    if order_cols:
+        return Window.orderBy(*order_cols)
+    return Window.partitionBy()
