@@ -35,6 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "pipeline_full",          # COMPOSED job: clean -> extract -> link -> triples
     "pipeline_triples_hybrid",  # flagship: Python tags, JVM pairs
     "pipeline_triples",       # fused UDF form (round-over-round diff)
     "mentions_decode",        # window-based decode
@@ -116,7 +117,20 @@ def main() -> None:
 
     spark = get_spark("kgce-bench", cores=cores, shuffle_partitions=max(cores, 8))
 
-    qs = entrymod.queries()
+    # every no-partition window in the bench set runs over a provably
+    # bounded frame (kgce.plans.partitioning.tiny_global_window documents
+    # each bound); silence the per-instance WindowExec warning so the
+    # bench log stays readable (r3 VERDICT #7 — a partitionBy(lit(1))
+    # silencer does not work: Catalyst folds literal partition keys out)
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.log4j.LogManager.getLogger(
+        "org.apache.spark.sql.execution.window.WindowExec"
+    ).setLevel(jvm.org.apache.log4j.Level.ERROR)
+
+    qs = dict(entrymod.queries())
+    # the composed end-to-end job is bench/plan-audit only (the driver
+    # grades at most 50 queries() entries; see pipeline_full docstring)
+    qs["pipeline_full"] = entrymod.pipeline_full
     # session warmup: JVM JIT, FS listing, python worker spin-up — none of
     # it belongs to the first measured query
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
