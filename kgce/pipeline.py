@@ -77,6 +77,9 @@ def clean_pages(
     eval_docs: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
+    quality_bands: tuple[tuple[float, float], ...] | None = None,
+    target_mix: dict[str, float] | None = None,
+    mix_strata_col: str = "lang",
 ) -> DataFrame:
     """Crawl-hygiene pre-pass composing the training-data operators, in
     the standard order cheap-narrow-first:
@@ -89,14 +92,23 @@ def clean_pages(
     3. boilerplate strip (optional, ``boilerplate_min_df``) — repeated
        sentences removed, all-boilerplate pages dropped;
     4. decontamination (optional, ``eval_docs``) — pages sharing
-       ``decontam_min_hits`` n-grams with the eval set dropped.
+       ``decontam_min_hits`` n-grams with the eval set dropped;
+    5. quality-banded downsampling (optional, ``quality_bands``) — the
+       GPT-3-style keep-fraction-by-quality-score filter, consistent
+       md5 hash membership keyed by url (pure narrow);
+    6. mixture realization (optional, ``target_mix``) — measures the
+       SURVIVING corpus's per-stratum token counts (mixing_weights),
+       then applies the resulting keep fractions with the consistent
+       stratified sampler, closing the feedback loop mixing.py's module
+       docstring describes.  The only driver-side data is the
+       per-stratum weight frame (a few rows — languages/sources).
 
     Returns pages with the SAME schema (text possibly rewritten by the
     boilerplate strip).  Cross-document stages (dedup DF counts,
-    boilerplate DF, eval grams) make this a GLOBAL stage — in
-    run_checkpointed it lands under one all-or-nothing manifest, never
-    per-bucket (a per-bucket run would count document frequency inside
-    one bucket only).
+    boilerplate DF, eval grams, mixture token counts) make this a
+    GLOBAL stage — in run_checkpointed it lands under one
+    all-or-nothing manifest, never per-bucket (a per-bucket run would
+    count document frequency inside one bucket only).
     """
     from pyspark.sql import Window
 
@@ -173,6 +185,37 @@ def clean_pages(
         )
         out = flagged.filter(~F.col("contaminated")).drop(
             "_rk", "n_hits", "contaminated"
+        )
+    if quality_bands is not None:
+        from .operators.sampling import quality_hash_sample
+
+        out = quality_hash_sample(
+            out, bands=quality_bands, key_col="url", text_col="text"
+        )
+    if target_mix is not None:
+        from .operators.mixing import mixing_weights
+        from .operators.sampling import stratified_hash_sample
+
+        # measure AFTER every dropping stage so the realized mixture is
+        # computed over what can actually be kept; the weight frame is
+        # per-stratum (languages/sources) — an O(strata) collect, the
+        # same size class as the IVF codebook
+        if boilerplate_min_df is not None or eval_docs is not None:
+            # `out` is about to be consumed by the token-count measure
+            # AND the final filter — materialize the fork (the earlier
+            # checkpoint covers only the pre-boilerplate prefix)
+            from .operators.linking import _checkpoint
+
+            out = _checkpoint(out)
+        w = mixing_weights(out, target_mix, strata_col=mix_strata_col)
+        fracs = {r.stratum: float(r.keep_frac) for r in w.collect()}
+        out = stratified_hash_sample(
+            out,
+            fracs,
+            strata_col=mix_strata_col,
+            key_col="url",
+            default_fraction=0.0,
+            salt="mix",
         )
     return out
 

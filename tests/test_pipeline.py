@@ -168,6 +168,47 @@ def test_eval_fingerprint_duplicate_pairs_do_not_cancel(spark):
     assert pipeline.eval_set_fingerprint(ev1.limit(0)) == [0, 0]
 
 
+def test_clean_pages_realizes_target_mixture(spark):
+    """target_mix closes the mixing_weights -> stratified sampler loop
+    (r3 VERDICT #8): measured 60/30/10 en/de/fr corpus, target 50/30/20
+    -> the binding stratum (fr) keeps everything and realized doc (==
+    token: uniform 10-token docs) shares land on target within hash-
+    sampling tolerance.  quality_bands composes in the same pass."""
+    rows = []
+    for lang, n in (("en", 600), ("de", 300), ("fr", 100)):
+        for i in range(n):
+            rows.append(
+                {"url": f"http://{lang}.site/{i}", "warc_ts": None, "html": None,
+                 "text": f"{lang} doc {i} " + "tok " * 7, "lang": lang}
+            )
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    target = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    out = pipeline.clean_pages(
+        pages, exact_dedup=False, repetition=False, target_mix=target
+    )
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert counts["fr"] == 100  # binding stratum keeps 1.0 exactly
+    total = sum(counts.values())
+    for lang, t in target.items():
+        assert abs(counts[lang] / total - t) < 0.05, (lang, counts)
+    assert set(out.columns) == set(pages.columns)
+    # deterministic: same call -> same kept set
+    again = pipeline.clean_pages(
+        pages, exact_dedup=False, repetition=False, target_mix=target
+    )
+    assert sorted(r.url for r in again.select("url").collect()) == sorted(
+        r.url for r in out.select("url").collect()
+    )
+    # quality banding composes (single keep-0.5 band halves the corpus)
+    q = pipeline.clean_pages(
+        pages, exact_dedup=False, repetition=False,
+        quality_bands=((0.0, 0.5),),
+    )
+    frac = q.count() / len(rows)
+    assert 0.4 < frac < 0.6
+
+
 def test_mixing_weights_zero_target(spark):
     """An explicit 0.0 target keeps nothing (not NaN->1.0), and an
     all-zero target raises."""
