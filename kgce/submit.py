@@ -23,6 +23,12 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--link-threshold", type=float, default=0.6)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--clean",
+        action="store_true",
+        help="run the crawl-hygiene pre-pass (url canonicalization, exact "
+        "dedup, repetition filter) as a cached global stage before extraction",
+    )
     args = ap.parse_args()
 
     from kgce import pipeline
@@ -31,8 +37,17 @@ def main() -> None:
     spark = get_spark("kgce-submit", cores=args.cores)
     pages = spark.read.parquet(args.input)
     t0 = time.monotonic()
+    clean = (
+        {"canonical_urls": True, "exact_dedup": True, "repetition": True}
+        if args.clean
+        else None
+    )
     out = pipeline.run_checkpointed(
-        pages, args.work_dir, n_buckets=args.buckets, link_threshold=args.link_threshold
+        pages,
+        args.work_dir,
+        n_buckets=args.buckets,
+        link_threshold=args.link_threshold,
+        clean=clean,
     )
     n_triples = out["triples"].count()
     wall = time.monotonic() - t0

@@ -521,3 +521,32 @@ def test_repetition_filter_drops_degenerate(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = [r.doc_id for r in textstats.repetition_filter(df).collect()]
     assert kept == [2]
+    # both implementations agree on the hand-built edge rows too
+    kept_jvm = [r.doc_id for r in textstats.repetition_filter(df, impl="jvm").collect()]
+    assert kept == kept_jvm
+
+
+def test_repetition_filter_impls_decision_equal(spark):
+    """The Arrow (Counter) predicate and the JVM column-expression
+    predicate — whose VALUES the DuckDB oracle pins — keep exactly the
+    same rows on a synthetic corpus plus adversarial edges (empty text,
+    whitespace-only, single word, newline runs, heavy duplication, long
+    docs, null)."""
+    from kgce import schemas, synth
+
+    pages = synth.gen_pages(120, seed=9, long_frac=0.25)
+    rows = [{"doc_id": i, "text": p["text"]} for i, p in enumerate(pages)]
+    edge_texts = [
+        "", "   ", "\n\n\n", "word", "a a a a a a a a a a",
+        "x\nx\nx\nx", "one two " * 50, "tok " * 500, None,
+        "Mixed CASE Words mixed case words MIXED case",
+    ]
+    rows += [{"doc_id": 1000 + i, "text": t} for i, t in enumerate(edge_texts)]
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    kept_py = {r.doc_id for r in textstats.repetition_filter(df).collect()}
+    kept_jvm = {r.doc_id for r in textstats.repetition_filter(df, impl="jvm").collect()}
+    assert kept_py == kept_jvm
+    assert kept_py  # non-degenerate: something survives
+    assert 1008 not in kept_py  # null text dropped by both
