@@ -22,16 +22,19 @@ from pyspark.sql import DataFrame
 
 
 def ensure_min_partitions(
-    df: DataFrame, min_parts: int | None = None, key: str | None = None
+    df: DataFrame,
+    min_parts: int | None = None,
+    key: str | None = None,
+    small_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Repartition ``df`` up to ``min_parts`` (default: the session's
-    ``defaultParallelism``) iff its planned partition count is lower.
+    ``defaultParallelism``) iff the frame would otherwise run on fewer
+    partitions.
 
-    Use at the INPUT of a compute-heavy narrow stage, never after wide
-    transforms (those already run at ``spark.sql.shuffle.partitions``).
-    Only order-insensitive downstreams qualify (hash/count/max
-    aggregates, per-row projections): the exchange reorders rows, so
-    floating-point SUM results may differ in the last ulp.
+    Use at the INPUT of a compute-heavy narrow stage.  Only
+    order-insensitive downstreams qualify (hash/count/max aggregates,
+    per-row projections): the exchange reorders rows, so floating-point
+    SUM results may differ in the last ulp.
 
     Pass ``key`` (a unique-ish id column) to hash-partition instead of
     round-robin: downstream windows / groupBys clustered on the same key
@@ -39,21 +42,43 @@ def ensure_min_partitions(
     already satisfied), and the round-robin determinism sort is avoided
     — measured 0.55 s vs 0.66 s round-robin vs 1.09 s unguarded for the
     mention-decode window at sf0.1/local[8].
+
+    Two probe regimes — the split is what keeps the guard FREE at scale:
+
+    * narrow plans (no exchange — the usual scan input): the planned
+      split count is plan metadata; ``df.rdd.getNumPartitions()`` runs
+      no job.
+    * ADAPTIVE plans (any exchange upstream with AQE on): ``.rdd``
+      would EXECUTE the upstream query stages so AQE can finalize the
+      plan (verified: one real job per probe) — a full extra pass over
+      the corpus whose shuffle output the later real execution does NOT
+      reuse.  Instead the optimizer's ``sizeInBytes`` estimate (pure
+      plan arithmetic, no job) decides: an estimated-small frame gets
+      the repartition unconditionally (AQE's byte-based coalescing
+      would have collapsed it to ~1 partition anyway — the exact regime
+      this guard exists for), a large frame passes through untouched
+      (no probe pass, no extra exchange at production scale).
     """
     if df.isStreaming:
         return df
     spark = df.sparkSession
     if min_parts is None:
         min_parts = spark.sparkContext.defaultParallelism
+
+    def _repart(d: DataFrame) -> DataFrame:
+        return d.repartition(min_parts, key) if key is not None else d.repartition(min_parts)
+
     try:
+        qe = df._jdf.queryExecution()
+        if "AdaptiveSparkPlan" in qe.executedPlan().nodeName():
+            est = int(qe.optimizedPlan().stats().sizeInBytes())
+            return _repart(df) if est <= small_bytes else df
         cur = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - plan not convertible (e.g. observe)
         return df
     if cur >= min_parts:
         return df
-    if key is not None:
-        return df.repartition(min_parts, key)
-    return df.repartition(min_parts)
+    return _repart(df)
 
 
 def tiny_global_window(*order_cols):

@@ -221,11 +221,24 @@ def test_ensure_min_partitions_adaptive(spark):
 
     one = spark.range(100).coalesce(1)
     assert ensure_min_partitions(one, min_parts=4).rdd.getNumPartitions() == 4
-    # already parallel enough -> identity (no extra exchange at scale)
-    many = spark.range(100).repartition(8)
+    # narrow plan already parallel enough -> identity (no extra exchange)
+    many = spark.range(100).coalesce(8)
     assert ensure_min_partitions(many, min_parts=4) is many
     # keyed form hash-partitions (downstream groupBy/window reuse)
     keyed = ensure_min_partitions(spark.range(50).coalesce(1), min_parts=4, key="id")
     assert keyed.rdd.getNumPartitions() == 4
     plan = keyed._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(id" in plan
+    # ADAPTIVE plan (exchange upstream): the probe must not execute a
+    # job (.rdd would run the upstream stages so AQE can finalize).
+    # Tiny estimate -> repartitioned; large-estimate simulation
+    # (small_bytes=0) -> untouched, no probe pass at production scale.
+    sc = spark.sparkContext
+    adaptive = spark.range(1000).repartition(8).selectExpr("id", "id * 2 as v")
+    jobs_before = len(sc.statusTracker().getJobIdsForGroup())
+    guarded = ensure_min_partitions(adaptive, min_parts=4, key="id")
+    big = ensure_min_partitions(adaptive, min_parts=4, small_bytes=0)
+    assert len(sc.statusTracker().getJobIdsForGroup()) == jobs_before  # no probe job
+    assert big is adaptive
+    gplan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id" in gplan
