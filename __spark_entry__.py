@@ -528,10 +528,13 @@ def q_ann_lsh(spark, sf):
     """Emitted cosine is re-rounded to 4 decimals: Spark's left-fold dot
     product and DuckDB's list_cosine_similarity sum in different orders,
     so 6th-decimal divergence is possible on near-boundary values (seen
-    once at sf0.1); candidate selection still uses the full precision."""
+    once at sf0.1); candidate selection still uses the full precision.
+    Query bucket + multi-probe set ride the broadcast query row
+    (cosine_topk_lsh_bcast) — no driver collect, one scan, same values
+    as the list-literal twin."""
     emb = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
-    top = ann.cosine_topk_lsh(emb, qvec, k=20, plane_hash="md5")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding")
+    top = ann.cosine_topk_lsh_bcast(emb, qrow, k=20, dim=64, plane_hash="md5")
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 

@@ -168,6 +168,49 @@ def cosine_topk_lsh(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def cosine_topk_lsh_bcast(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_hash: str = "xx",
+) -> DataFrame:
+    """SRP-bucketed top-k against a 1-row query DataFrame — the query's
+    bucket and its single-bit multi-probe set are computed JVM-side on
+    the broadcast row, so no driver collect of the query vector (the
+    list-literal twin re-scans the table for it; same one-scan
+    discipline as cosine_topk_bcast / ivf_topk_bcast).  Candidate
+    selection is identical to ``cosine_topk_lsh``: bucket b plus every
+    b ^ (1 << p)."""
+    qd = F.col(vec_col).cast("array<double>")
+    q = query.select(
+        qd.alias("_qv"),
+        _norm(qd).alias("_qn"),
+        srp_bucket(F.col(vec_col), n_planes, dim, plane_hash=plane_hash).alias("_qb"),
+    ).select(
+        "_qv",
+        "_qn",
+        F.array(
+            F.col("_qb"), *[F.col("_qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        ).alias("_probes"),
+    )
+    bucketed = embeddings.withColumn(
+        "_bucket", srp_bucket(F.col(vec_col), n_planes, dim, plane_hash=plane_hash)
+    )
+    cand = bucketed.crossJoin(F.broadcast(q)).filter(
+        F.array_contains(F.col("_probes"), F.col("_bucket"))
+    )
+    cos = _dot(F.col(vec_col), F.col("_qv")) / (_norm(F.col(vec_col)) * F.col("_qn"))
+    return (
+        cand.select(F.col(id_col).alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -175,6 +175,27 @@ def test_lsh_topk_recall(spark):
     assert 7 in approx  # the query vector itself is always found
 
 
+def test_bcast_ann_forms_match_literal(spark):
+    """The broadcast-query-row LSH and IVF forms return exactly the
+    list-literal results (same bucket/probe selection, same widened
+    floats) with NO driver collect of the query vector."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).collect()[0].embedding]
+    qrow = emb.filter(F.col("vec_id") == 7).select("embedding")
+    dim = len(qvec)
+    lsh_lit = [(r.vec_id, r.cosine) for r in
+               ann.cosine_topk_lsh(emb, qvec, k=10, n_planes=6).collect()]
+    lsh_bc = [(r.vec_id, r.cosine) for r in
+              ann.cosine_topk_lsh_bcast(emb, qrow, k=10, n_planes=6, dim=dim).collect()]
+    assert lsh_lit == lsh_bc
+    ivf_lit = [(r.vec_id, r.cosine) for r in
+               ann.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=3).collect()]
+    ivf_bc = [(r.vec_id, r.cosine) for r in
+              ann.ivf_topk_bcast(emb, qrow, k=10, n_centroids=8, n_probe=3).collect()]
+    assert ivf_lit == ivf_bc
+    assert lsh_bc and lsh_bc[0][0] == 7  # the query vector is its own top hit
+
+
 def test_lloyd_refine_improves_ivf_recall(spark):
     """r2 VERDICT #6: a few deterministic Lloyd iterations over a
     hash-sample must beat seeds-as-centroids at equal n_probe.  Recall
