@@ -90,6 +90,27 @@ for k in layouts:
 out["speedup_salted"] = round(
     out["domain_clustered"]["wall_sec"] / out["salted"]["wall_sec"], 2
 )
+
+# full run_checkpointed A/B on the clustered input (salt_hot_domains
+# on vs off).  Expected to be near-null: StageRunner buckets pages by
+# xxhash64(url) % n_buckets, which already flattens domain clustering
+# for the checkpointed stages — the salt's protection is for the
+# narrow pre-bucket path measured above (and for writes).  Reported
+# anyway so the null result is on record, not assumed.
+import shutil, tempfile
+from kgce import pipeline
+rc_walls = {{}}
+for salt in (False, True):
+    wd = tempfile.mkdtemp(prefix="kgce_skew_rc_")
+    t0 = time.monotonic()
+    outp = pipeline.run_checkpointed(
+        layouts["domain_clustered"](pages), wd, n_buckets=8,
+        salt_hot_domains=salt,
+    )
+    outp["triples"].count()
+    rc_walls["salted" if salt else "unsalted"] = round(time.monotonic() - t0, 2)
+    shutil.rmtree(wd, ignore_errors=True)
+out["run_checkpointed"] = rc_walls
 print(json.dumps(out))
 """
 
@@ -137,6 +158,16 @@ immune to the shared host's noise), while the wall-time ratio shows the
 straggler effect end-to-end.  `run_checkpointed(salt_hot_domains=True)`
 applies exactly this repartition before its UDF stages; the salt is a
 pure function of the url, so bucket manifests stay resume-valid.
+
+Full `run_checkpointed` A/B on the same clustered input
+(salt off {res['run_checkpointed']['unsalted']} s vs salt on
+{res['run_checkpointed']['salted']} s): near-parity is the EXPECTED
+result, not a failure of the salt — StageRunner buckets pages by
+xxhash64(url) % n_buckets, so the checkpointed stages never see the
+domain clustering; the salt protects the paths that DO run on the
+delivered layout (the uncheckpointed `pipeline.run`/hygiene prefix
+measured above, and partitioned writes).  Recorded so the null result
+is evidence, not an untested assumption.
 """
     (REPO / "BENCH" / "SKEW.md").write_text(md)
 
