@@ -727,6 +727,29 @@ def q_strip_boilerplate(spark, sf):
     return boilerplate.strip_boilerplate(_boilerplated_docs(spark, sf), min_df=3)
 
 
+def bench_strip_repeated_ngrams(spark, sf):
+    """Bench-only (queries() is at the driver's 50-entry cap; parity is
+    pinned by the Python oracle in tests/test_repeats.py): exact-substring
+    dedup over documents with a planted 12-word template on every third
+    doc — the Lee-et-al-style repeated-span strip."""
+    from kgce.operators import repeats
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    " planted template words repeated verbatim across many"
+                    " pages for exact substring dedup"
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return repeats.strip_repeated_ngrams(docs, n=10, min_df=2)
+
+
 def q_triangle_stats(spark, sf):
     """Entity co-occurrence graph metrics: mentions co-occurring in a
     document form undirected edges; triangles are counted once each via

@@ -55,6 +55,7 @@ HEADLINE = [
 # they exist to grade VALUES, the scale path is the max_df-guarded /
 # LSH-blocked form already benched via near_dup_groups.
 EXTENDED = [
+    "strip_repeated_ngrams",
     "near_dup_groups",
     "sequence_packing",
     "token_quality",
@@ -128,9 +129,11 @@ def main() -> None:
     ).setLevel(jvm.org.apache.log4j.Level.ERROR)
 
     qs = dict(entrymod.queries())
-    # the composed end-to-end job is bench/plan-audit only (the driver
-    # grades at most 50 queries() entries; see pipeline_full docstring)
+    # bench-only entries (the driver grades at most 50 queries()
+    # entries; see the pipeline_full / bench_strip_repeated_ngrams
+    # docstrings for where their correctness is pinned instead)
     qs["pipeline_full"] = entrymod.pipeline_full
+    qs["strip_repeated_ngrams"] = entrymod.bench_strip_repeated_ngrams
     # session warmup: JVM JIT, FS listing, python worker spin-up — none of
     # it belongs to the first measured query
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()

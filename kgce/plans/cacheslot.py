@@ -41,3 +41,9 @@ class CacheSlot:
     def release(self) -> None:
         """Unpersist the live frame (no-op if empty)."""
         self.swap(None)
+
+    def current(self) -> DataFrame | None:
+        """The live frame (None if empty) — for the owning operator's
+        same-call chain only; other callers must not rely on it."""
+        with self._lock:
+            return self._df

@@ -1,0 +1,134 @@
+"""Exact-substring (repeated-span) dedup vs a pure-Python oracle.
+
+The operator is graded by oracle parity in-test (the driver's 50-entry
+queries() cap is full — see kgce/operators/repeats.py docstring), the
+same strategy as the one-credit eval walk: an independent Python
+implementation of the published semantics, compared value-for-value.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from kgce.operators import repeats
+
+
+def _py_norm(t):
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip().split(" ")
+
+
+def _py_oracle(docs, n, min_df):
+    """(stripped_texts, spans): independent reimplementation — gram
+    index, df count over distinct docs, min-doc keeper, index-set
+    coverage (contiguous runs == merged spans by construction)."""
+    norm = {d: _py_norm(t) for d, t in docs}
+    gram_docs = {}
+    for d, ws in norm.items():
+        for j in range(max(len(ws) - n + 1, 0)):
+            gram_docs.setdefault(" ".join(ws[j : j + n]), set()).add(d)
+    keeper = {g: min(ds) for g, ds in gram_docs.items() if len(ds) >= min_df}
+    texts, spans = {}, {}
+    for d, ws in norm.items():
+        cover = set()
+        for j in range(max(len(ws) - n + 1, 0)):
+            g = " ".join(ws[j : j + n])
+            if g in keeper and keeper[g] != d:
+                cover.update(range(j, j + n))
+        if cover:
+            runs, s = [], None
+            for i in sorted(cover):
+                if s is None:
+                    s = p = i
+                elif i == p + 1:
+                    p = i
+                else:
+                    runs.append((s, p + 1))
+                    s = p = i
+            runs.append((s, p + 1))
+            spans[d] = runs
+        kept = " ".join(w for i, w in enumerate(ws) if i not in cover)
+        if kept:
+            texts[d] = kept
+    return texts, spans
+
+
+def _rows(docs):
+    return [(d, t) for d, t in docs]
+
+
+CORPUS = [
+    # template chunk shared by 1/2/3 (keeper = 1 keeps it)
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique one body"),
+    (2, "prefix two alpha beta gamma delta epsilon zeta eta theta iota kappa tail two"),
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # fully covered -> drops
+    (4, "entirely distinct content with no repeats whatsoever in this document at all"),
+    (5, "short doc"),  # < n words: can never repeat
+    # overlapping repeats: two 10-gram windows sharing 9 words merge into one span
+    (6, "one two three four five six seven eight nine ten eleven closing words here"),
+    (7, "pad one two three four five six seven eight nine ten eleven more padding"),
+]
+
+
+def test_strip_repeated_ngrams_matches_python_oracle(spark):
+    n, min_df = 10, 2
+    df = spark.createDataFrame(_rows(CORPUS), "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           repeats.strip_repeated_ngrams(df, n=n, min_df=min_df).collect()}
+    want, _ = _py_oracle(CORPUS, n, min_df)
+    assert got == want
+    assert 3 not in got          # fully-covered non-keeper drops out
+    assert "alpha beta" in got[1]  # keeper keeps its copy
+    assert "alpha" not in got[2]   # non-keeper stripped
+    repeats.release_cache()
+
+
+def test_repeated_spans_merged_and_non_keeper_only(spark):
+    n, min_df = 10, 2
+    df = spark.createDataFrame(_rows(CORPUS), "doc_id long, text string")
+    got = {
+        r.doc_id: [(p.s, p.e) for p in r.spans]
+        for r in repeats.repeated_ngram_spans(df, n=n, min_df=min_df).collect()
+    }
+    _, want = _py_oracle(CORPUS, n, min_df)
+    assert got == want
+    assert 1 not in got  # keeper has no spans
+    # doc 7's two overlapping windows merged into ONE maximal span
+    assert len(got[7]) == 1
+    repeats.release_cache()
+
+
+def test_repeats_property_on_synth_corpus(spark):
+    """Property check on the synthetic corpus with a planted template:
+    oracle equality end-to-end, plus the one-surviving-copy invariant
+    (the planted 12-word template remains in exactly one document)."""
+    from kgce import synth
+
+    template = ("planted template words repeated verbatim across many pages "
+                "for exact substring dedup")
+    pages = synth.gen_pages(40, seed=21)
+    docs = []
+    for i, p in enumerate(pages):
+        t = p["text"]
+        if i % 3 == 0:
+            t = t + " " + template
+        docs.append((i, t))
+    n, min_df = 10, 2
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           repeats.strip_repeated_ngrams(df, n=n, min_df=min_df).collect()}
+    want, _ = _py_oracle(docs, n, min_df)
+    assert got == want
+    survivors = sum("planted template words" in t for t in got.values())
+    assert survivors == 1
+    repeats.release_cache()
+
+
+def test_repeats_plan_shape(spark):
+    """Scale shape: the persisted base serves both DAG branches (no
+    double tokenization) and the flagged-digest join is UNHINTED."""
+    df = spark.createDataFrame(_rows(CORPUS), "doc_id long, text string")
+    out = repeats.strip_repeated_ngrams(df, n=10, min_df=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "SortAggregate" not in plan
+    repeats.release_cache()
