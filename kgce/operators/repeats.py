@@ -31,8 +31,13 @@ drops out entirely.
 
 Differences vs the true suffix-array form, stated honestly: spans are
 word-aligned (not byte-aligned) and repeats shorter than ``n`` words go
-undetected; repeats are detected on the NORMALIZED text (lower +
-whitespace-squeeze), and stripped output is normalized likewise.  The
+undetected; matching is CASE-INSENSITIVE (gram digests are computed on
+the lowercased join) while the rebuilt text PRESERVES the original
+word case — raw whitespace runs collapse to single spaces (the raw
+split and the normalized split are token-for-token aligned, so the
+digest positions index the case-preserving words directly).  Case
+preservation is what lets the strip compose in front of the
+capitalization-driven KG tagger (clean_pages ``repeats_min_df``).  The
 reference engine has no counterpart — this extends the
 beyond-reference training-data operators.
 
@@ -47,9 +52,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.cacheslot import CacheSlot
-from .textstats import _words
 
 _slot = CacheSlot()
+
+
+def _raw_words(text_col) -> "F.Column":
+    """Whitespace-split words with ORIGINAL case (runs of whitespace
+    collapse, like textstats._words minus the lowercasing — the two
+    splits are token-for-token aligned, which is what lets digests
+    computed on the lowered join index into these case-preserving
+    words)."""
+    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
 
 
 def release_cache() -> None:
@@ -59,20 +72,24 @@ def release_cache() -> None:
 
 
 def _positioned_grams(n: int):
-    """Column: array of md5 digests of the word n-grams of ``words``,
-    one per start position (empty when the doc has < n words)."""
+    """Column: array of md5 digests of the LOWERCASED word n-grams of
+    ``words``, one per start position (empty when the doc has < n
+    words).  Lower-after-join == join-of-lowered, so digests match
+    case-insensitively while ``words`` keeps original case."""
     k = F.size("words") - (n - 1)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), k - 1),
-            lambda j: F.md5(F.array_join(F.slice(F.col("words"), j + 1, n), " ")),
+            lambda j: F.md5(
+                F.lower(F.array_join(F.slice(F.col("words"), j + 1, n), " "))
+            ),
         )
     )
 
 
 def _base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     b = docs.select(
-        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("words")
+        F.col(id_col).alias("doc_id"), _raw_words(F.col(text_col)).alias("words")
     ).persist()
     _slot.swap(b)
     return b
@@ -161,8 +178,9 @@ def strip_repeated_ngrams(
     text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, text): documents rebuilt from the words NOT covered by a
-    repeated span (normalized text, single-space joined); the keeper of
-    each repeat keeps its copy; fully-covered documents drop out."""
+    repeated span (original case preserved, single-space joined); the
+    keeper of each repeat keeps its copy; fully-covered documents drop
+    out."""
     spans_df = repeated_ngram_spans(docs, n, min_df, id_col, text_col)
     base = _slot.current()
     joined = base.join(spans_df, "doc_id", "left")

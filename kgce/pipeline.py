@@ -74,6 +74,8 @@ def clean_pages(
     exact_dedup: bool = True,
     repetition: bool = True,
     boilerplate_min_df: int | None = None,
+    repeats_min_df: int | None = None,
+    repeats_n: int = 10,
     eval_docs: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
@@ -91,6 +93,11 @@ def clean_pages(
     2. repetition filter — pure narrow Gopher-style thresholds;
     3. boilerplate strip (optional, ``boilerplate_min_df``) — repeated
        sentences removed, all-boilerplate pages dropped;
+    3b. exact-substring dedup (optional, ``repeats_min_df``) — word
+       ``repeats_n``-gram spans repeated across >= repeats_min_df pages
+       keep ONE copy corpus-wide (lowest-url row); matching is
+       case-insensitive, surviving text keeps its case (safe in front
+       of the capitalization-driven tagger);
     4. decontamination (optional, ``eval_docs``) — pages sharing
        ``decontam_min_hits`` n-grams with the eval set dropped;
     5. quality-banded downsampling (optional, ``quality_bands``) — the
@@ -142,11 +149,15 @@ def clean_pages(
 
         out = ensure_min_partitions(out, key="url")
         out = textstats.repetition_filter(out, id_col="url", text_col="text")
-    if boilerplate_min_df is not None or eval_docs is not None:
+    if (
+        boilerplate_min_df is not None
+        or repeats_min_df is not None
+        or eval_docs is not None
+    ):
         # the stages below consume `out` from several subtrees (strip
         # base + rejoin side, decontam shingle explode + rejoin); an
         # unmaterialized fork would re-run the dedup window and the
-        # repetition HOFs once per consumer (CLAUDE.md multi-consumer
+        # repetition filter once per consumer (CLAUDE.md multi-consumer
         # trap) — materialize once.  In run_checkpointed the whole
         # stage output lands as parquet anyway; this protects direct
         # clean_pages()/run() callers.
@@ -167,6 +178,22 @@ def clean_pages(
             id_col="_rk",
         ).withColumnRenamed("doc_id", "_rk")
         out = out.drop("text").join(stripped, "_rk").drop("_rk")
+    if repeats_min_df is not None:
+        # row key ORDERED BY URL (url first, digest as tiebreaker): the
+        # repeats keeper is min(id), so the lowest-url row keeps the one
+        # surviving copy of every repeated span — the same keeper rule
+        # as the content-digest dedup
+        from .operators import repeats as rp
+
+        rk2 = F.concat_ws("\x00", F.col("url"), F.md5(F.col("text")))
+        out = out.withColumn("_rk", rk2)
+        stripped2 = rp.strip_repeated_ngrams(
+            out.select("_rk", "text").dropDuplicates(["_rk"]),
+            n=repeats_n,
+            min_df=repeats_min_df,
+            id_col="_rk",
+        ).withColumnRenamed("doc_id", "_rk")
+        out = out.drop("text").join(stripped2, "_rk").drop("_rk")
     if eval_docs is not None:
         # key by the same md5(url, text) ROW key as the boilerplate strip
         # (ADVICE r3): a url crawled twice with different content keeps
@@ -200,7 +227,11 @@ def clean_pages(
         # computed over what can actually be kept; the weight frame is
         # per-stratum (languages/sources) — an O(strata) collect, the
         # same size class as the IVF codebook
-        if boilerplate_min_df is not None or eval_docs is not None:
+        if (
+            boilerplate_min_df is not None
+            or repeats_min_df is not None
+            or eval_docs is not None
+        ):
             # `out` is about to be consumed by the token-count measure
             # AND the final filter — materialize the fork (the earlier
             # checkpoint covers only the pre-boilerplate prefix)

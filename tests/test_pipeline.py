@@ -128,6 +128,31 @@ def test_clean_pages_canonical_urls(spark):
     assert len(out) == 1 and out[0].url == "http://a.com/x"
 
 
+def test_clean_pages_repeats_stage(spark):
+    """repeats_min_df strips cross-page repeated word spans, the
+    LOWEST-URL page keeping the one surviving copy; case preserved
+    (tagger-safe), unique content untouched."""
+    chunk = "The Famous Template Sentence Repeated Verbatim Across Many Pages Everywhere"
+    rows = [
+        {"url": f"http://s{i}.example/p", "warc_ts": None, "html": None,
+         "text": f"unique body number {i} alpha beta. " + chunk, "lang": "en"}
+        for i in range(4)
+    ]
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    out = {r.url: r.text for r in pipeline.clean_pages(
+        pages, exact_dedup=False, repetition=False,
+        repeats_min_df=2, repeats_n=5,
+    ).collect()}
+    assert len(out) == 4
+    keepers = [u for u, t in out.items() if "Famous Template" in t]
+    assert keepers == ["http://s0.example/p"]  # lowest url keeps the copy
+    for i in range(4):
+        assert f"unique body number {i}" in out[f"http://s{i}.example/p"]
+    from kgce.operators import repeats as rp
+
+    rp.release_cache()
+
+
 def test_clean_pages_decontam_is_row_keyed(spark):
     """A url crawled twice with different content: only the row that
     actually overlaps the eval set drops (ADVICE r3 — a url-keyed pass

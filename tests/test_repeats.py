@@ -13,25 +13,28 @@ from pyspark.sql import functions as F
 from kgce.operators import repeats
 
 
-def _py_norm(t):
-    return re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip().split(" ")
+def _py_words(t):
+    """Raw (case-preserving) whitespace split, ASCII class matching the
+    JVM ``\\s``; gram KEYS lowercase separately (case-insensitive match,
+    case-preserving rebuild — repeats.py module docstring)."""
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", t).strip().split(" ")
 
 
 def _py_oracle(docs, n, min_df):
     """(stripped_texts, spans): independent reimplementation — gram
     index, df count over distinct docs, min-doc keeper, index-set
     coverage (contiguous runs == merged spans by construction)."""
-    norm = {d: _py_norm(t) for d, t in docs}
+    norm = {d: _py_words(t) for d, t in docs}
     gram_docs = {}
     for d, ws in norm.items():
         for j in range(max(len(ws) - n + 1, 0)):
-            gram_docs.setdefault(" ".join(ws[j : j + n]), set()).add(d)
+            gram_docs.setdefault(" ".join(ws[j : j + n]).lower(), set()).add(d)
     keeper = {g: min(ds) for g, ds in gram_docs.items() if len(ds) >= min_df}
     texts, spans = {}, {}
     for d, ws in norm.items():
         cover = set()
         for j in range(max(len(ws) - n + 1, 0)):
-            g = " ".join(ws[j : j + n])
+            g = " ".join(ws[j : j + n]).lower()
             if g in keeper and keeper[g] != d:
                 cover.update(range(j, j + n))
         if cover:
@@ -120,6 +123,27 @@ def test_repeats_property_on_synth_corpus(spark):
     assert got == want
     survivors = sum("planted template words" in t for t in got.values())
     assert survivors == 1
+    repeats.release_cache()
+
+
+def test_repeats_case_insensitive_match_case_preserving_output(spark):
+    """Repeats match across case variants, but survivors keep their
+    original case — the property that lets the strip run in front of
+    the capitalization-driven KG tagger."""
+    n, min_df = 4, 2
+    docs = [
+        (1, "Alice Met Bob In Geneva yesterday for lunch"),
+        (2, "prefix alice met bob in geneva suffix words"),
+        (3, "Unique Capitalized Content With No Repeats Here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           repeats.strip_repeated_ngrams(df, n=n, min_df=min_df).collect()}
+    want, _ = _py_oracle(docs, n, min_df)
+    assert got == want
+    assert "Alice Met Bob" in got[1]          # keeper, original case kept
+    assert "alice" not in got[2].lower() or "met" not in got[2].lower()
+    assert got[3] == "Unique Capitalized Content With No Repeats Here"
     repeats.release_cache()
 
 
