@@ -750,6 +750,25 @@ def bench_strip_repeated_ngrams(spark, sf):
     return repeats.strip_repeated_ngrams(docs, n=10, min_df=2)
 
 
+def bench_domain_stats(spark, sf):
+    """Bench-only (50-entry cap; Python-rollup oracle in test_domains):
+    per-domain curation rollup over documents with deterministic
+    Zipf-ish synthetic domains (doc_id % 40 weighted by doc_id % 7)."""
+    from kgce.operators import domains
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.pmod(F.col("doc_id"), 7) * F.pmod(F.col("doc_id"), 40), 40).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    return domains.domain_stats(pages)
+
+
 def q_triangle_stats(spark, sf):
     """Entity co-occurrence graph metrics: mentions co-occurring in a
     document form undirected edges; triangles are counted once each via

@@ -56,6 +56,7 @@ HEADLINE = [
 # LSH-blocked form already benched via near_dup_groups.
 EXTENDED = [
     "strip_repeated_ngrams",
+    "domain_stats",
     "near_dup_groups",
     "sequence_packing",
     "token_quality",
@@ -134,6 +135,7 @@ def main() -> None:
     # docstrings for where their correctness is pinned instead)
     qs["pipeline_full"] = entrymod.pipeline_full
     qs["strip_repeated_ngrams"] = entrymod.bench_strip_repeated_ngrams
+    qs["domain_stats"] = entrymod.bench_domain_stats
     # session warmup: JVM JIT, FS listing, python worker spin-up — none of
     # it belongs to the first measured query
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()

@@ -139,3 +139,52 @@ def test_stateful_digest_dedup_across_microbatches(spark, tmp_path):
         r.text for r in streaming.dedup_stream_by_digest(all_pages).collect()
     }
     assert set(texts) == want_texts
+
+
+def test_streaming_narrow_hygiene_equals_batch(spark, tmp_path):
+    """The STATELESS hygiene subset (url canonicalization, repetition
+    filter, quality banding, stratified sampling) is pure narrow and
+    therefore streaming-compatible as-is: applying the same operators
+    to a readStream produces exactly the batch rows.  (The cross-doc
+    stages — digest dedup, boilerplate, repeats, decontam — are global
+    by nature; their streaming counterpart is the stateful digest dedup
+    tested above.)"""
+    from pyspark.sql import functions as F
+
+    from kgce.operators import sampling, textstats
+    from kgce.operators.urlnorm import canonicalize_url
+
+    in_dir = str(tmp_path / "hy_in")
+    out_dir = str(tmp_path / "hy_out")
+    ckpt = str(tmp_path / "hy_ckpt")
+    pages = synth.gen_pages(30, seed=61)
+    _write_pages(spark, in_dir, pages)
+
+    def hygiene(df):
+        df = df.withColumn("url", canonicalize_url(F.col("url")))
+        df = textstats.repetition_filter(df, id_col="url", text_col="text")
+        df = sampling.quality_hash_sample(
+            df, bands=((0.0, 0.5),), key_col="url", text_col="text"
+        )
+        return sampling.stratified_hash_sample(
+            df, {"en": 1.0, "de": 0.5}, strata_col="lang", key_col="url",
+            default_fraction=0.25,
+        )
+
+    stream = hygiene(spark.readStream.schema(schemas.PAGES).parquet(in_dir))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish within 300s"
+    got = sorted(r.url for r in spark.read.parquet(out_dir).select("url").collect())
+    want = sorted(
+        r.url
+        for r in hygiene(spark.createDataFrame(pages, schema=schemas.PAGES))
+        .select("url")
+        .collect()
+    )
+    assert got == want and len(got) > 0
