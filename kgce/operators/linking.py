@@ -173,13 +173,13 @@ def connected_components(
     Input: undirected edges (a, b) over long node ids.
     Output: (node, component) with component = min node id in component.
 
-    Adaptivity: after the (always needed) dedup + checkpoint of the edge
-    set, if the distinct edge count is <= ``small_graph_threshold`` the
-    components are computed by a driver-side union-find — at that size
-    the distributed loop is pure scheduling overhead (each round is 2
-    jobs over kilobytes).  Entity-linking edge sets over a VOCABULARY
-    shrink fast; production web-scale runs with billions of edges take
-    the iterative path: two groupBy/shuffle rounds per iteration, each
+    Adaptivity: ONE ``limit(threshold + 1)`` probe job both decides the
+    path and, on small graphs, fetches the full deduped edge list for a
+    driver-side union-find — at that size the distributed loop is pure
+    scheduling overhead (each round is 2 jobs over kilobytes), and the
+    probe terminates early on big graphs.  Entity-linking edge sets over
+    a VOCABULARY shrink fast; production web-scale runs with billions of
+    edges take the iterative path (dedup + reliable checkpoint first): two groupBy/shuffle rounds per iteration, each
     checkpointed to cut the exponentially-growing lineage (the reference
     analog is its epoch-loop checkpointing, task.py:135-151).  With a
     configured checkpoint dir the cut is RELIABLE (executor loss cannot
@@ -187,13 +187,27 @@ def connected_components(
     ``small_graph_threshold=0`` to force the distributed loop.
     """
     # undirected edge set, canonical (small, large) orientation
-    e = _checkpoint(
+    und = (
         edges.select(
             F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
+    if small_graph_threshold:
+        # ONE job decides the path AND fetches the data: limit(T+1)
+        # terminates early on big graphs, and on small ones the probe IS
+        # the full edge list — replacing the old eager-checkpoint +
+        # fingerprint + collect (3 serial jobs) that dominated
+        # canonicalize's wall at vocabulary scale (entity-linking edge
+        # sets are tiny; the flagship profile showed the fixed job
+        # latency, not data, as the cost)
+        probe = und.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            return _cc_driver_rows(
+                [(r.lo, r.hi) for r in probe], edges.sparkSession
+            )
+    e = _checkpoint(und)
 
     def _sym(und: DataFrame) -> DataFrame:
         return und.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
@@ -211,8 +225,6 @@ def connected_components(
         )
 
     prev = _stats(e)
-    if small_graph_threshold and prev[0] <= small_graph_threshold:
-        return _cc_driver(e)
     converged = False
     for _ in range(max_iter):
         sym = _sym(e)
@@ -267,12 +279,10 @@ def connected_components(
     return comp.unionByName(roots.join(comp, "node", "left_anti"))
 
 
-def _cc_driver(e: DataFrame) -> DataFrame:
-    """Small-graph fallback: collect the (deduped, checkpointed) edge
-    list and union-find on the driver — semantics identical to the star
-    loop (component = min node id), proven by the shared pytest oracle.
-    """
-    pairs = [(r.lo, r.hi) for r in e.collect()]
+def _cc_driver_rows(pairs: list, spark_session) -> DataFrame:
+    """Small-graph fallback: union-find on the driver over the collected
+    (deduped) edge list — semantics identical to the star loop
+    (component = min node id), proven by the shared pytest oracle."""
     parent: dict = {}
 
     def find(x):
@@ -289,7 +299,7 @@ def _cc_driver(e: DataFrame) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     nodes = {x for p in pairs for x in p}
     rows = [(n, find(n)) for n in sorted(nodes)]
-    return e.sparkSession.createDataFrame(rows or [], "node long, component long")
+    return spark_session.createDataFrame(rows or [], "node long, component long")
 
 
 def canonicalize(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
