@@ -285,7 +285,12 @@ def run(
     (kwargs for :func:`clean_pages`) enables the hygiene pre-pass."""
     if clean is not None:
         pages = clean_pages(pages, **clean)
-    mentions = tagging.extract_mentions(pages)
+    # mentions feed THREE consumers (triple chain, linking vocabulary,
+    # node building); unmaterialized, each re-runs the tagging UDF —
+    # a full corpus pass per consumer at crawl scale.  run_checkpointed
+    # materializes this stage as parquet; the uncheckpointed path gets
+    # the same guarantee from a localCheckpoint.
+    mentions = linking._checkpoint(tagging.extract_mentions(pages))
     canon = linking.canonicalize(mentions, threshold=link_threshold)
     trips = canonical_triples(mentions, threshold=link_threshold, canon=canon)
     return {
