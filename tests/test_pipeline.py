@@ -252,6 +252,40 @@ def test_mixing_weights_zero_target(spark):
         mixing.mixing_weights(df, {"en": 0.0})
 
 
+def test_clean_pages_all_options_compose(spark):
+    """Every hygiene option enabled at once: schema preserved, run is
+    deterministic, and each stage's signature effect is visible (dup
+    url gone, footer stripped, planted repeat kept once, contaminated
+    page gone, mixture realized over the survivors)."""
+    footer = " all rights reserved footer sentence."
+    chunk = " The Repeated Template Chunk Appearing Verbatim On Several Pages Here"
+    base = synth.gen_pages(30, seed=47)
+    rows = []
+    for i, p in enumerate(base):
+        q = dict(p)
+        q["text"] = q["text"] + "." + footer + (chunk if i % 3 == 0 else "")
+        rows.append(q)
+    dup = dict(rows[1]); dup["url"] = "zzz://dup"; rows.append(dup)
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    ev = spark.createDataFrame([("e", rows[5]["text"])], "doc_id string, text string")
+    kwargs = dict(
+        canonical_urls=True, exact_dedup=True, repetition=True,
+        boilerplate_min_df=5, repeats_min_df=2, repeats_n=5,
+        eval_docs=ev, decontam_n=5, decontam_min_hits=2,
+        quality_bands=((0.0, 0.9),), target_mix={"en": 0.6, "de": 0.2, "fr": 0.2},
+    )
+    out = pipeline.clean_pages(pages, **kwargs)
+    got = {r.url: r.text for r in out.collect()}
+    assert set(out.columns) == set(pages.columns)
+    assert "zzz://dup" not in got
+    assert rows[5]["url"] not in got              # decontaminated
+    assert all("rights reserved" not in t for t in got.values())
+    assert sum("Repeated Template Chunk" in t for t in got.values()) <= 1
+    assert len(got) > 3
+    again = {r.url: r.text for r in pipeline.clean_pages(pages, **kwargs).collect()}
+    assert got == again
+
+
 def test_checkpointed_clean_rejects_changed_eval_set(spark, tmp_path):
     """Resuming with a DIFFERENT eval set must raise, not silently reuse
     the cached decontamination output."""

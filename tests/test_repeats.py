@@ -156,3 +156,27 @@ def test_repeats_plan_shape(spark):
     assert plan.count("InMemoryTableScan") >= 2
     assert "SortAggregate" not in plan
     repeats.release_cache()
+
+
+def test_repeats_hypothesis_property(spark):
+    """Randomized corpora from a 6-word vocabulary (forcing frequent
+    repeats, boundary overlaps and whole-doc coverage): Spark output
+    equals the independent Python oracle on every example."""
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    doc = st.lists(st.sampled_from(vocab), min_size=0, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus)
+    def check(texts):
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.text for r in
+               repeats.strip_repeated_ngrams(df, n=3, min_df=2).collect()}
+        want, _ = _py_oracle(docs, 3, 2)
+        assert got == want
+        repeats.release_cache()
+
+    check()
