@@ -84,6 +84,68 @@ def upsert_parquet(updates: DataFrame, path: str, keys: list[str]) -> None:
     shutil.rmtree(old)
 
 
+TRIPLE_KEYS = ["subj_text", "pred", "obj_text", "subj_type", "obj_type"]
+
+
+def merge_aggregated_triples(
+    new_trips: DataFrame, path: str, epoch_id: int | None = None
+) -> None:
+    """MERGE-with-aggregation analog for incremental KG maintenance: on
+    Iceberg this is ``MERGE INTO edges e USING batch b ON <TRIPLE_KEYS>
+    WHEN MATCHED THEN UPDATE SET n_evidence = e.n_evidence +
+    b.n_evidence, confidence = greatest(e.confidence, b.confidence)
+    WHEN NOT MATCHED THEN INSERT *`` — here, re-aggregation of the
+    union (sum/max are ASSOCIATIVE, so any micro-batch partitioning of
+    the corpus converges to the identical table) plus the same atomic
+    directory swap as upsert_parquet.
+
+    Exactly-once under foreachBatch replays: an additive merge is NOT
+    idempotent, so each merged ``epoch_id`` leaves an ``_epoch_<id>``
+    marker INSIDE the staged table directory — marker and data swap in
+    atomically together, so a replayed micro-batch either sees its
+    marker (skip) or the pre-merge table (safe re-merge); there is no
+    window where the data landed but the marker did not.  Underscore
+    files are invisible to parquet readers.  Iceberg proper gets the
+    same guarantee from single-snapshot commits.
+    """
+    import shutil
+
+    spark = new_trips.sparkSession
+    p = Path(path)
+    marker = f"_epoch_{epoch_id}" if epoch_id is not None else None
+    if marker and (p / marker).exists():
+        return  # replayed micro-batch, already merged
+    if not p.exists():
+        new_trips.write.mode("overwrite").parquet(str(p))
+        if marker:
+            (p / marker).touch()
+        return
+    existing = spark.read.parquet(str(p))
+    merged = (
+        existing.unionByName(new_trips.select(*existing.columns))
+        .groupBy(*TRIPLE_KEYS)
+        .agg(
+            F.sum("n_evidence").alias("n_evidence"),
+            F.max("confidence").alias("confidence"),
+        )
+        .select(*existing.columns)
+    )
+    staging = p.with_name(p.name + "__staging")
+    if staging.exists():
+        shutil.rmtree(staging)
+    merged.write.mode("overwrite").parquet(str(staging))
+    for old_marker in p.glob("_epoch_*"):
+        (staging / old_marker.name).touch()
+    if marker:
+        (staging / marker).touch()
+    old = p.with_name(p.name + "__old")
+    if old.exists():
+        shutil.rmtree(old)
+    p.rename(old)
+    staging.rename(p)
+    shutil.rmtree(old)
+
+
 def build_nodes(canon: DataFrame, mentions: DataFrame, n_buckets: int = 32) -> DataFrame:
     """Node table: one row per canonical entity with mention statistics.
 

@@ -183,3 +183,32 @@ def dedup_stream_by_digest(pages_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_triples_merge(pages_stream: DataFrame, out_path: str, ckpt: str):
+    """Incremental KG maintenance: each micro-batch of crawled pages
+    runs the hybrid triple chain (Python tags, JVM pairs, partial-agg
+    groupBy) and MERGES its aggregated triples into the edges-source
+    table — n_evidence adds, confidence takes max.  Triple aggregation
+    is ASSOCIATIVE, so any micro-batch partitioning of the corpus
+    converges to the same table a single batch run produces
+    (stream == batch pinned in test_streaming).  Replayed micro-batches
+    are skipped via the epoch markers inside the table directory
+    (plans.materialize.merge_aggregated_triples — swap-atomic, so the
+    additive merge stays exactly-once)."""
+    from .operators import triples as triples_ops
+    from .plans.materialize import merge_aggregated_triples
+
+    def _merge(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        merge_aggregated_triples(
+            triples_ops.extract_triples_hybrid(batch_df), out_path, epoch_id=epoch_id
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

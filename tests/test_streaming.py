@@ -188,3 +188,44 @@ def test_streaming_narrow_hygiene_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_triples_merge_equals_batch(spark, tmp_path):
+    """Incremental KG maintenance: triples merged across two streamed
+    waves equal one batch run over the union (sum/max associativity),
+    and a replayed epoch merge is a no-op (exactly-once markers)."""
+    from kgce.operators import triples as triples_ops
+    from kgce.plans.materialize import merge_aggregated_triples
+
+    in_dir = str(tmp_path / "tm_in")
+    out = str(tmp_path / "tm_edges")
+    ckpt = str(tmp_path / "tm_ckpt")
+    wave1 = synth.gen_pages(15, seed=71)
+    wave2 = synth.gen_pages(10, seed=72)
+
+    _write_pages(spark, in_dir, wave1)
+    q = streaming.stream_triples_merge(
+        streaming.stream_pages(spark, in_dir), out, ckpt
+    )
+    assert q.awaitTermination(300)
+    _write_pages(spark, in_dir, wave2)
+    q2 = streaming.stream_triples_merge(
+        streaming.stream_pages(spark, in_dir), out, ckpt
+    )
+    assert q2.awaitTermination(300)
+
+    cols = ["subj_text", "pred", "obj_text", "subj_type", "obj_type",
+            "n_evidence", "confidence"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    all_pages = spark.createDataFrame(wave1 + wave2, schema=schemas.PAGES)
+    want = sorted(map(tuple,
+                      triples_ops.extract_triples_hybrid(all_pages).select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+    # replaying an already-merged epoch must not double-count
+    replay = triples_ops.extract_triples_hybrid(
+        spark.createDataFrame(wave2, schema=schemas.PAGES)
+    )
+    merge_aggregated_triples(replay, out, epoch_id=1)
+    again = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    assert again == got
