@@ -132,6 +132,49 @@ def aggregate_triples(scored: DataFrame) -> DataFrame:
     )
 
 
+def evidence_urls(scored: DataFrame, k: int = 3) -> DataFrame:
+    """Provenance: the top-``k`` evidence URLs per triple key — the
+    sink-side join ``aggregate_triples``'s docstring defers to (exact
+    URL lists as O(1)-per-key aggregation state would not survive
+    10^12 pages; a BOUNDED top-k per key does).
+
+    URLs are DISTINCT per key (a url citing the triple in several
+    sentences appears once, at its max confidence — the per-(key, url)
+    max is a partial-aggregated groupBy BEFORE the window, so the
+    window input is already collapsed).  One window shuffle on the
+    triple key; rank by (confidence desc, url) so the kept evidence is
+    the strongest and the choice is deterministic.  Join the result
+    onto aggregate_triples output by the same five key columns when
+    materializing edges with provenance.
+    """
+    from pyspark.sql import Window
+
+    keys = ["subj_text", "pred", "obj_text", "subj_type", "obj_type"]
+    per_url = scored.groupBy(*keys, "url").agg(
+        F.max("confidence").alias("confidence")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("confidence"), "url")
+    return (
+        per_url.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("confidence")).alias("nc"),
+                        F.col("url").alias("url"),
+                    )
+                )
+            ).alias("_ev")
+        )
+        .select(
+            *keys,
+            F.transform(F.col("_ev"), lambda s: s["url"]).alias("evidence_urls"),
+        )
+    )
+
+
 def extract_triples(mentions: DataFrame, max_pair_distance: int | None = None) -> DataFrame:
     if max_pair_distance is not None:
         return aggregate_triples(score_pairs(candidate_pairs(mentions, max_pair_distance)))

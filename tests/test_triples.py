@@ -65,3 +65,40 @@ def test_fused_pairs_equal_relational(spark):
         triples_ops.candidate_pairs_grouped(tagging.extract_mentions(df))
     ).select(cols)
     assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, rel.collect()))
+
+
+def test_evidence_urls_topk_provenance(spark):
+    """Top-k evidence URLs per triple key: bounded, strongest-first,
+    deterministic, and drawn from that key's actual scored rows —
+    verified against a Python top-k over the same pairs."""
+    pages = synth.gen_pages(40, seed=17)
+    df = spark.createDataFrame(pages, schema=schemas.PAGES)
+    scored = triples_ops.score_pairs(
+        triples_ops.candidate_pairs_grouped(tagging.extract_mentions(df))
+    ).cache()
+    k = 2
+    got = {
+        (r.subj_text, r.pred, r.obj_text, r.subj_type, r.obj_type): list(r.evidence_urls)
+        for r in triples_ops.evidence_urls(scored, k=k).collect()
+    }
+    rows = scored.select(
+        "subj_text", "pred", "obj_text", "subj_type", "obj_type", "confidence", "url"
+    ).collect()
+    best: dict = {}
+    for r in rows:
+        key = (r.subj_text, r.pred, r.obj_text, r.subj_type, r.obj_type)
+        cur = best.setdefault(key, {})
+        cur[r.url] = max(cur.get(r.url, float("-inf")), r.confidence)
+    want = {
+        key: [u for _, u in sorted(((-c, u) for u, c in urls.items()))[:k]]
+        for key, urls in best.items()
+    }
+    assert got == want
+    # joins 1:1 onto the aggregated triples by the same key
+    agg = triples_ops.aggregate_triples(scored)
+    joined = agg.join(
+        triples_ops.evidence_urls(scored, k=k),
+        ["subj_text", "pred", "obj_text", "subj_type", "obj_type"],
+    )
+    assert joined.count() == agg.count()
+    scored.unpersist()
