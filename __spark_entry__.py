@@ -1085,17 +1085,23 @@ def _bio_eval_sql() -> str:
                / ({tp} * 1.0 / ({tp} + {fp}) + {tp} * 1.0 / gold_n)
             ELSE 0.0 END, 6)
     """
+    from kgce.operators.ruletag import core_tok_sql
+
+    core = core_tok_sql("tok")
     return f"""
-WITH toks AS (
+WITH raw_toks AS (
   SELECT doc_id AS url,
          unnest(string_split_regex(text, '\\s+')) AS tok,
          generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
   FROM documents
 ),
+toks AS (
+  SELECT url, pos, {core} AS tok FROM raw_toks WHERE tok <> ''
+),
 typed AS (
   SELECT url, pos, tok, {ent} AS g_ent,
          CASE WHEN length(tok) > 4 THEN {ent} END AS p_ent
-  FROM toks WHERE tok <> ''
+  FROM toks
 ),
 bio AS (
   SELECT url, pos,
@@ -1314,8 +1320,10 @@ def _fused_pipeline_sql() -> str:
     RE2-expressible, so breaks are marked in two sequential global
     replaces (same result: the first alternative's match always starts at
     the punctuation-adjacent position, so ordering cannot differ)."""
+    from kgce.operators.ruletag import core_tok_sql
     from kgce.oracle import RULE_LEXICON
 
+    core = core_tok_sql("tok")
     lex = ", ".join(f"'{w}'" for w in sorted(RULE_LEXICON))
     seg = (
         r"regexp_replace(regexp_replace(text, '([.!?])\s+', '\1'||chr(1), 'g'), "
@@ -1328,11 +1336,14 @@ segs AS (
          unnest(string_split(marked, chr(1))) AS seg
   FROM pages
 ),
-toks AS (
+raw_toks AS (
   SELECT url, sent_id,
          unnest(string_split_regex(seg, '\\s+')) AS tok,
          generate_subscripts(string_split_regex(seg, '\\s+'), 1) AS pos
   FROM segs
+),
+toks AS (
+  SELECT url, sent_id, pos, {core} AS tok FROM raw_toks WHERE tok <> ''
 ),
 typed AS (
   SELECT url, sent_id, pos, tok,
@@ -1342,7 +1353,7 @@ typed AS (
            WHEN lower(substr(tok,1,1)) <= 's' THEN 'org'
            ELSE 'misc' END
     END AS ent
-  FROM toks WHERE tok <> ''
+  FROM toks
 ),
 flagged AS (
   SELECT *, CASE WHEN ent IS NOT NULL

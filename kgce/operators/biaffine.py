@@ -180,19 +180,39 @@ def spans_to_mentions(spans: DataFrame, sentences: DataFrame) -> DataFrame:
 
     Join back to the sentences table on (url, sent_id) and index the
     offset arrays — the relational replacement for the reference's
-    pickle mapping file.
+    pickle mapping file.  Surfaces/offsets use the EDGE_PUNCT-stripped
+    token core (functions.core_surface), matching the fused BIO decode.
     """
+    from ..functions import core_surface
+
     s = sentences.select("url", "sent_id", "tokens", "tok_starts", "tok_ends")
     j = spans.join(s, ["url", "sent_id"])
+    first_tok = F.element_at("tokens", F.col("tok_s") + 1)
+    last_tok = F.element_at("tokens", F.col("tok_e"))
+    _, start_c, _ = core_surface(
+        first_tok,
+        F.element_at("tok_starts", F.col("tok_s") + 1),
+        F.element_at("tok_ends", F.col("tok_s") + 1),
+    )
+    _, _, end_c = core_surface(
+        last_tok,
+        F.element_at("tok_starts", F.col("tok_e")),
+        F.element_at("tok_ends", F.col("tok_e")),
+    )
+    core_join = F.array_join(
+        F.transform(
+            F.slice("tokens", F.col("tok_s") + 1, F.col("tok_e") - F.col("tok_s")),
+            lambda t: core_surface(t, F.lit(0), F.lit(0))[0],
+        ),
+        " ",
+    )
     return j.select(
         "url",
         "sent_id",
         "type",
-        F.element_at("tok_starts", F.col("tok_s") + 1).alias("start"),
-        F.element_at("tok_ends", F.col("tok_e")).alias("end"),
-        F.array_join(
-            F.slice("tokens", F.col("tok_s") + 1, F.col("tok_e") - F.col("tok_s")), " "
-        ).alias("text"),
+        start_c.alias("start"),
+        end_c.alias("end"),
+        core_join.alias("text"),
     )
 
 

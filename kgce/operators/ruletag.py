@@ -13,16 +13,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import rule_type
+from ..functions import core_token, rule_type
+
+# DuckDB (RE2) twin of functions.EDGE_PUNCT_CLASS; SQL-quoted ('' = ').
+_EDGE_SQL = "[.,;:!?\"''()\\[\\]{}<>]"
+
+def core_tok_sql(tok: str) -> str:
+    """DuckDB expression: EDGE_PUNCT-stripped core of ``tok``, falling
+    back to the raw token when the core is empty (pure punctuation —
+    never an entity either way, but the fallback keeps the surface
+    column aligned with the Spark side)."""
+    return (
+        f"coalesce(nullif(regexp_replace(regexp_replace({tok}, "
+        f"'^{_EDGE_SQL}+', '', 'g'), '{_EDGE_SQL}+$', '', 'g'), ''), {tok})"
+    )
 
 
 def tokens_with_pos(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens with 1-based split positions; the emitted ``tok``
+    is the EDGE_PUNCT-stripped core (raw token when the core is empty),
+    so downstream typing, length guards and mention surfaces all see
+    "Geneva" for "Geneva." — matching oracle.core_token_offsets."""
     toks = F.split(F.col(text_col), r"\s+")
-    return (
+    raw = (
         docs.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok"))
         .withColumn("pos", F.col("pos") + 1)  # 1-based, matching SQL generate_subscripts
         .filter(F.col("tok") != "")
     )
+    core = core_token(F.col("tok"))
+    return raw.withColumn("tok", F.when(core == "", F.col("tok")).otherwise(core))
 
 
 def document_mentions(
@@ -72,12 +91,15 @@ def mentions_sql(min_token_len: int = 0, table: str = "documents") -> str:
 
     lex = ", ".join(f"'{w}'" for w in sorted(RULE_LEXICON))
     guard = f"AND length(tok) > {min_token_len}" if min_token_len else ""
+    core = core_tok_sql("tok")
     return f"""
-    WITH toks AS (
+    WITH raw_toks AS (
       SELECT doc_id,
              unnest(string_split_regex(text, '\\s+')) AS tok,
              generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
       FROM {table}
+    ), toks AS (
+      SELECT doc_id, pos, {core} AS tok FROM raw_toks WHERE tok <> ''
     ), typed AS (
       SELECT doc_id, pos, tok,
         CASE WHEN (regexp_full_match(tok, '[A-Z][a-zA-Z]*') OR tok IN ({lex})) {guard} THEN

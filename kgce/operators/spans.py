@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import label_type
+from ..functions import core_surface, label_type
 
 
 def fix_bio_relational(
@@ -54,7 +54,12 @@ def sessionize_spans(
     output_format_converter.py:156-191); ``I-`` of the running type
     extends.  span_id = running sum of open-flags; then one groupBy per
     span.  Output: (keys..., span_id, type, tok_s, tok_e, start, end, text).
+
+    Mention surfaces/offsets use the EDGE_PUNCT-stripped token core
+    (oracle.core_token_offsets twin), matching the fused UDF decode.
     """
+    tok_c, s_c, e_c = core_surface(F.col("token"), F.col("start"), F.col("end"))
+    tokens = tokens.withColumns({"token": tok_c, "start": s_c, "end": e_c})
     w = Window.partitionBy(*keys).orderBy(pos)
     lab = F.col(label)
     prev = F.lag(lab).over(w)

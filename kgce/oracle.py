@@ -299,6 +299,31 @@ def tokenize(text: str, base: int = 0) -> list[tuple[str, int, int]]:
 
 _CAP = re.compile(r"^[A-Z][a-zA-Z]*$")
 
+# Edge punctuation stripped before a token is classified / surfaced as a
+# mention.  ASCII-only on purpose: Python str.strip, Java regex and RE2
+# (DuckDB) all agree on this class, keeping the three tagger twins exact
+# (kgce.functions.core_token / kgce.operators.ruletag.CORE_TOK_SQL).
+# Without this, sentence-final entities ("Geneva.") are never tagged.
+EDGE_PUNCT = ".,;:!?\"'()[]{}<>"
+
+
+def strip_edge_punct(token: str) -> str:
+    """Token core: leading/trailing EDGE_PUNCT chars removed."""
+    return token.strip(EDGE_PUNCT)
+
+
+def core_token_offsets(tok: str, s: int, e: int) -> tuple[str, int, int]:
+    """(core, start, end) for the mention surface form.
+
+    Pure-punctuation tokens keep their original form/offsets (they are
+    never entities, so the surface never reaches a mention anyway).
+    """
+    core = tok.strip(EDGE_PUNCT)
+    if not core:
+        return tok, s, e
+    lead = len(tok) - len(tok.lstrip(EDGE_PUNCT))
+    return core, s + lead, s + lead + len(core)
+
 # fixed lowercase lexicon so the tagger also fires on all-lowercase
 # corpora (e.g. the driver's synthetic `documents` table); disjoint from
 # kgce.synth's filler vocabulary by construction
@@ -311,11 +336,14 @@ def rule_tag_token(token: str) -> str | None:
     """Entity type for a single token, or None.
 
     Entity tokens: capitalized alphabetic tokens OR members of
-    RULE_LEXICON.  The type is a deterministic function of the lowercased
-    first letter so both the DuckDB oracle SQL and the Spark pipeline can
-    express it:  a-f -> per, g-m -> loc, n-s -> org, t-z -> misc.
+    RULE_LEXICON, judged on the EDGE_PUNCT-stripped core (so "Geneva."
+    and "(Alice)" are entities).  The type is a deterministic function of
+    the lowercased first letter so both the DuckDB oracle SQL and the
+    Spark pipeline can express it:
+    a-f -> per, g-m -> loc, n-s -> org, t-z -> misc.
     """
-    if not (_CAP.match(token) or token in RULE_LEXICON):
+    token = token.strip(EDGE_PUNCT)
+    if not token or not (_CAP.match(token) or token in RULE_LEXICON):
         return None
     c = token[0].lower()
     if c <= "f":
@@ -354,16 +382,23 @@ def rule_tag_sentence(tokens: list[str]) -> list[str]:
 
 
 def page_mentions(text: str) -> list[dict]:
-    """Mentions for one page: sentence split -> tokenize -> tag -> decode."""
+    """Mentions for one page: sentence split -> tokenize -> tag -> decode.
+
+    The tagger sees RAW whitespace tokens (its strip is internal); the
+    decoded mention surface/offsets use the EDGE_PUNCT-stripped core, so
+    "Geneva." yields mention text "Geneva" with exact char offsets.
+    """
     mentions = []
     for sent_id, (s, e) in enumerate(split_sentences(text)):
         toks = tokenize(text[s:e], base=s)
         if not toks:
             continue
         words = [t[0] for t in toks]
-        offs = [(t[1], t[2]) for t in toks]
+        cores = [core_token_offsets(*t) for t in toks]
         labels = fix_bio(rule_tag_sentence(words))
-        for sp in decode_spans_converter(words, offs, labels):
+        for sp in decode_spans_converter(
+            [c[0] for c in cores], [(c[1], c[2]) for c in cores], labels
+        ):
             mentions.append(
                 {
                     "sent_id": sent_id,

@@ -44,6 +44,78 @@ def write_edges(edges: DataFrame, out_dir: str, table: str = "kg.edges") -> None
     )
 
 
+_SWAP_READY = "_swap_ready"
+
+
+def _staging_of(p: Path) -> Path:
+    return p.with_name(p.name + "__staging")
+
+
+def _old_of(p: Path) -> Path:
+    return p.with_name(p.name + "__old")
+
+
+def _recover_interrupted_swap(p: Path) -> None:
+    """Make the table directory consistent before deciding a merge path.
+
+    The swap is two renames (p -> __old, __staging -> p); a crash can
+    strand the table in between.  ``_swap_ready`` is touched as the LAST
+    staging step, so its presence proves the staged table (data AND
+    epoch markers) is complete:
+
+    * p exists            -> any __staging/__old is a stale leftover: drop.
+    * p missing, staged complete -> roll FORWARD (finish the rename).
+    * p missing, __old exists    -> roll BACK (restore the old table,
+      drop the incomplete staging).
+    * neither             -> genuinely no table yet (drop partial staging).
+
+    Without this, a crash between the two renames made the replayed
+    epoch see 'no table' and rewrite only its own batch — silently
+    abandoning the accumulated history in __old.
+    """
+    import shutil
+
+    staging, old = _staging_of(p), _old_of(p)
+    if p.exists():
+        for stale in (staging, old):
+            if stale.exists():
+                shutil.rmtree(stale)
+        (p / _SWAP_READY).unlink(missing_ok=True)
+        return
+    if (staging / _SWAP_READY).exists():
+        staging.rename(p)
+        (p / _SWAP_READY).unlink(missing_ok=True)
+        if old.exists():
+            shutil.rmtree(old)
+        return
+    if old.exists():
+        if staging.exists():
+            shutil.rmtree(staging)
+        old.rename(p)
+        return
+    if staging.exists():
+        shutil.rmtree(staging)
+
+
+def _commit_staging(p: Path, staging: Path) -> None:
+    """Atomically (crash-recoverably) promote a fully-written staging
+    directory to ``p``: mark it complete, then swap.  Any crash inside
+    this sequence is repaired by _recover_interrupted_swap — roll-forward
+    once ``_swap_ready`` exists, roll-back before that."""
+    import shutil
+
+    (staging / _SWAP_READY).touch()
+    old = _old_of(p)
+    if old.exists():
+        shutil.rmtree(old)
+    if p.exists():
+        p.rename(old)
+    staging.rename(p)
+    (p / _SWAP_READY).unlink(missing_ok=True)
+    if old.exists():
+        shutil.rmtree(old)
+
+
 def upsert_parquet(updates: DataFrame, path: str, keys: list[str]) -> None:
     """Iceberg-MERGE analog for the parquet fallback (K6: 'MERGE-style
     idempotent upserts'): rows whose natural key appears in ``updates``
@@ -60,28 +132,20 @@ def upsert_parquet(updates: DataFrame, path: str, keys: list[str]) -> None:
     existing table (Iceberg proper avoids even that via metadata-level
     row-group skipping; this fallback keeps the same semantics).
     """
-    import shutil
-
     spark = updates.sparkSession
     p = Path(path)
+    _recover_interrupted_swap(p)
     if not p.exists():
-        updates.write.mode("overwrite").parquet(str(p))
-        return
-    existing = spark.read.parquet(str(p))
-    kept = existing.join(
-        F.broadcast(updates.select(*keys).distinct()), list(keys), "left_anti"
-    )
-    out = kept.unionByName(updates.select(*existing.columns))
-    staging = p.with_name(p.name + "__staging")
-    if staging.exists():
-        shutil.rmtree(staging)
+        out = updates
+    else:
+        existing = spark.read.parquet(str(p))
+        kept = existing.join(
+            F.broadcast(updates.select(*keys).distinct()), list(keys), "left_anti"
+        )
+        out = kept.unionByName(updates.select(*existing.columns))
+    staging = _staging_of(p)
     out.write.mode("overwrite").parquet(str(staging))
-    old = p.with_name(p.name + "__old")
-    if old.exists():
-        shutil.rmtree(old)
-    p.rename(old)
-    staging.rename(p)
-    shutil.rmtree(old)
+    _commit_staging(p, staging)
 
 
 TRIPLE_KEYS = ["subj_text", "pred", "obj_text", "subj_type", "obj_type"]
@@ -104,46 +168,42 @@ def merge_aggregated_triples(
     marker INSIDE the staged table directory — marker and data swap in
     atomically together, so a replayed micro-batch either sees its
     marker (skip) or the pre-merge table (safe re-merge); there is no
-    window where the data landed but the marker did not.  Underscore
-    files are invisible to parquet readers.  Iceberg proper gets the
-    same guarantee from single-snapshot commits.
+    window where the data landed but the marker did not.  EVERY epoch
+    (including the first) goes through the staging directory, and an
+    interrupted swap is rolled forward/back on entry
+    (_recover_interrupted_swap), so a crash at any rename boundary
+    leaves either the pre-merge or the post-merge table — never a
+    missing or double-counted one.  Underscore files are invisible to
+    parquet readers.  Iceberg proper gets the same guarantee from
+    single-snapshot commits.
     """
-    import shutil
-
     spark = new_trips.sparkSession
     p = Path(path)
+    _recover_interrupted_swap(p)
     marker = f"_epoch_{epoch_id}" if epoch_id is not None else None
     if marker and (p / marker).exists():
         return  # replayed micro-batch, already merged
     if not p.exists():
-        new_trips.write.mode("overwrite").parquet(str(p))
-        if marker:
-            (p / marker).touch()
-        return
-    existing = spark.read.parquet(str(p))
-    merged = (
-        existing.unionByName(new_trips.select(*existing.columns))
-        .groupBy(*TRIPLE_KEYS)
-        .agg(
-            F.sum("n_evidence").alias("n_evidence"),
-            F.max("confidence").alias("confidence"),
+        merged = new_trips
+    else:
+        existing = spark.read.parquet(str(p))
+        merged = (
+            existing.unionByName(new_trips.select(*existing.columns))
+            .groupBy(*TRIPLE_KEYS)
+            .agg(
+                F.sum("n_evidence").alias("n_evidence"),
+                F.max("confidence").alias("confidence"),
+            )
+            .select(*existing.columns)
         )
-        .select(*existing.columns)
-    )
-    staging = p.with_name(p.name + "__staging")
-    if staging.exists():
-        shutil.rmtree(staging)
+    staging = _staging_of(p)
     merged.write.mode("overwrite").parquet(str(staging))
-    for old_marker in p.glob("_epoch_*"):
-        (staging / old_marker.name).touch()
+    if p.exists():
+        for old_marker in p.glob("_epoch_*"):
+            (staging / old_marker.name).touch()
     if marker:
         (staging / marker).touch()
-    old = p.with_name(p.name + "__old")
-    if old.exists():
-        shutil.rmtree(old)
-    p.rename(old)
-    staging.rename(p)
-    shutil.rmtree(old)
+    _commit_staging(p, staging)
 
 
 def build_nodes(canon: DataFrame, mentions: DataFrame, n_buckets: int = 32) -> DataFrame:

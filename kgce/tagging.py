@@ -70,8 +70,11 @@ def _tagged_page_sentences(pdf: pd.DataFrame, tag_fn: TagFn) -> list[tuple]:
     model path: length-bucketed batched inference amortized across the
     whole batch instead of one forward per sentence).  Returns
     (url, sent_id, words, char_offsets, repaired_labels) per sentence, in
-    page order.  Row-level isolation (S5): null/empty pages contribute
-    nothing instead of failing the batch."""
+    page order; the tagger sees RAW whitespace tokens while the returned
+    words/offsets are the EDGE_PUNCT-stripped mention surfaces
+    (oracle.core_token_offsets) consumed by span decode.  Row-level
+    isolation (S5): null/empty pages contribute nothing instead of
+    failing the batch."""
     sents: list[tuple] = []
     for url, text in zip(pdf["url"], pdf["text"]):
         if text is None:
@@ -80,14 +83,18 @@ def _tagged_page_sentences(pdf: pd.DataFrame, tag_fn: TagFn) -> list[tuple]:
             toks = oracle.tokenize(text[s:e], base=s)
             if not toks:
                 continue
-            sents.append((url, sid, [t[0] for t in toks], [(t[1], t[2]) for t in toks]))
+            cores = [oracle.core_token_offsets(*t) for t in toks]
+            sents.append(
+                (url, sid, [t[0] for t in toks],
+                 [c[0] for c in cores], [(c[1], c[2]) for c in cores])
+            )
     if hasattr(tag_fn, "tag_batch"):
         raw = tag_fn.tag_batch([s[2] for s in sents]) if sents else []
     else:
         raw = [tag_fn(s[2]) for s in sents]
     return [
         (u, sid, w, o, oracle.fix_bio(labs))
-        for (u, sid, w, o), labs in zip(sents, raw)
+        for (u, sid, _raw, w, o), labs in zip(sents, raw)
     ]
 
 

@@ -229,3 +229,69 @@ def test_stream_triples_merge_equals_batch(spark, tmp_path):
     merge_aggregated_triples(replay, out, epoch_id=1)
     again = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
     assert again == got
+
+
+def test_merge_recovers_interrupted_swap(spark, tmp_path):
+    """Every crash window of the staged atomic swap is repaired on the
+    next call: roll-forward once _swap_ready exists, roll-back before —
+    never a missing table, never a double-counted epoch."""
+    import shutil
+    from pathlib import Path
+
+    from kgce.plans import materialize as mat
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "subj_text string, pred string, obj_text string, subj_type string, "
+            "obj_type string, n_evidence long, confidence double",
+        )
+
+    t0 = [("a", "rel:x", "b", "per", "loc", 2, 0.5)]
+    t1 = [("a", "rel:x", "b", "per", "loc", 3, 0.9)]
+    out = tmp_path / "edges"
+    p = Path(out)
+
+    def table():
+        return sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+
+    # --- crash BEFORE _swap_ready (mid-staging): roll back, re-merge is safe
+    mat.merge_aggregated_triples(mk(t0), str(out), epoch_id=0)
+    base = table()
+    staging = mat._staging_of(p)
+    mk(t1).write.mode("overwrite").parquet(str(staging))  # no _swap_ready
+    mat.merge_aggregated_triples(mk(t1), str(out), epoch_id=1)
+    assert table() == [("a", "rel:x", "b", "per", "loc", 5, 0.9)]
+    assert not staging.exists() and not mat._old_of(p).exists()
+
+    # --- crash BETWEEN the two renames (p gone, staged table complete):
+    # roll FORWARD — the accumulated history must not be lost
+    shutil.rmtree(out)
+    mat.merge_aggregated_triples(mk(t0), str(out), epoch_id=0)
+    mat.merge_aggregated_triples(mk(t1), str(out), epoch_id=1)
+    merged = table()
+    # simulate: epoch 2's staging committed (_swap_ready), p renamed away
+    mk([("c", "rel:y", "d", "org", "org", 1, 0.1)]).write.mode("overwrite").parquet(
+        str(staging)
+    )
+    for m in p.glob("_epoch_*"):
+        (staging / m.name).touch()
+    (staging / "_epoch_2").touch()
+    (staging / mat._SWAP_READY).touch()
+    p.rename(mat._old_of(p))
+    # a replay of epoch 2 must first complete the swap, then skip (marker)
+    mat.merge_aggregated_triples(
+        mk([("c", "rel:y", "d", "org", "org", 1, 0.1)]), str(out), epoch_id=2
+    )
+    assert sorted(table()) == sorted(
+        [("c", "rel:y", "d", "org", "org", 1, 0.1)]
+    ) and not mat._old_of(p).exists()
+
+    # --- crash with only __old left (staging incomplete): roll back
+    shutil.rmtree(out)
+    mat.merge_aggregated_triples(mk(t0), str(out), epoch_id=0)
+    p.rename(mat._old_of(p))
+    mk(t1).write.mode("overwrite").parquet(str(staging))  # incomplete staging
+    mat.merge_aggregated_triples(mk(t1), str(out), epoch_id=1)
+    assert table() == [("a", "rel:x", "b", "per", "loc", 5, 0.9)]
+    assert base == [("a", "rel:x", "b", "per", "loc", 2, 0.5)]
