@@ -88,6 +88,12 @@ def _positioned_grams(n: int):
 
 
 def _base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Persisted (doc_id, words) base.  The frame is THREADED through
+    the functions below by value — the module-global slot exists solely
+    for unpersist bookkeeping (release_cache), never as a read-back
+    channel, so concurrent calls on different corpora can interleave
+    without one silently consuming the other's base (the slot's
+    'correct, just slower' contract)."""
     b = docs.select(
         F.col(id_col).alias("doc_id"), _raw_words(F.col(text_col)).alias("words")
     ).persist()
@@ -106,7 +112,10 @@ def repeated_ngram_freq(
     DISTINCT documents, with the lowest-doc_id keeper.  df counts
     documents (per-doc duplicates collapse first), mirroring
     boilerplate.sentence_df."""
-    base = _base(docs, id_col, text_col)
+    return _freq_from_base(_base(docs, id_col, text_col), n, min_df)
+
+
+def _freq_from_base(base: DataFrame, n: int, min_df: int) -> DataFrame:
     return (
         base.select(
             "doc_id", F.explode(F.array_distinct(_positioned_grams(n))).alias("g")
@@ -156,8 +165,11 @@ def repeated_ngram_spans(
     word-index spans [s, e) covered by cross-document repeated n-grams.
     Documents with no repeats (or that are the keeper of all their
     repeats) are absent."""
-    flagged = repeated_ngram_freq(docs, n, min_df, id_col, text_col)
-    base = _slot.current()  # the persisted (doc_id, words) frame from _base
+    return _spans_from_base(_base(docs, id_col, text_col), n, min_df)
+
+
+def _spans_from_base(base: DataFrame, n: int, min_df: int) -> DataFrame:
+    flagged = _freq_from_base(base, n, min_df)
     pos = base.select(
         "doc_id", F.posexplode(_positioned_grams(n)).alias("j", "g")
     )
@@ -181,8 +193,8 @@ def strip_repeated_ngrams(
     repeated span (original case preserved, single-space joined); the
     keeper of each repeat keeps its copy; fully-covered documents drop
     out."""
-    spans_df = repeated_ngram_spans(docs, n, min_df, id_col, text_col)
-    base = _slot.current()
+    base = _base(docs, id_col, text_col)
+    spans_df = _spans_from_base(base, n, min_df)
     joined = base.join(spans_df, "doc_id", "left")
     spans = F.coalesce(F.col("spans"), F.array().cast("array<struct<s:int,e:int>>"))
     kept = F.filter(

@@ -205,17 +205,21 @@ def _py_repetition_keep(
     max_top3gram: float,
 ) -> bool:
     """Python twin of the JVM repetition predicate — every step mirrors
-    the column expressions exactly (Java ``\\s`` is ASCII-only, hence
-    the explicit class; ``trim``/``lower`` agree on ASCII, which is what
-    the parity test covers; null text fails the JVM predicate and is
-    dropped here too).  Counter is C-level, so the per-element cost is
-    ~100x below interpreted Catalyst HOF lambdas."""
+    the column expressions exactly, INCLUDING on non-ASCII crawl text:
+    Java ``\\s`` is ASCII-only, hence the explicit class; Spark ``trim``
+    strips ONLY U+0020, hence ``.strip(" ")`` (a bare ``.strip()`` would
+    eat NBSP/Unicode whitespace the JVM keeps); ``lower`` is the Unicode
+    default case mapping on both engines (pinned empirically for
+    Turkish dotted-I, ß/ẞ, final sigma, ligatures, fullwidth forms in
+    test_repetition_filter_impls_decision_equal).  Null text fails the
+    JVM predicate and is dropped here too.  Counter is C-level, so the
+    per-element cost is ~100x below interpreted Catalyst HOF lambdas."""
     import re
     from collections import Counter
 
     if text is None:
         return False
-    words = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip().split(" ")
+    words = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.lower()).strip(" ").split(" ")
     lines = text.split("\n")
     if 1.0 - len(set(words)) / max(len(words), 1) > max_dup_word:
         return False

@@ -561,6 +561,17 @@ def test_repetition_filter_impls_decision_equal(spark):
         "", "   ", "\n\n\n", "word", "a a a a a a a a a a",
         "x\nx\nx\nx", "one two " * 50, "tok " * 500, None,
         "Mixed CASE Words mixed case words MIXED case",
+        # non-ASCII casefold/whitespace semantics (ADVICE r4): Unicode
+        # default case mapping + ASCII-only \s + space-only trim must
+        # agree between CPython and the JVM on real multilingual crawl
+        # text — NBSP edges, Turkish dotted-I, ß/ẞ, Greek final sigma,
+        # ligatures, fullwidth forms, line/paragraph separators
+        "\xa0İstanbul\xa0 ıI İstanbul ıI İstanbul ıI İstanbul ıI",
+        "STRASSE ß ẞ straße " * 12,
+        "ΣΙΣΥΦΟΣ τέλοσ Σίσυφος " * 10,
+        "ﬁle ﬀ ＡＢＣ ǅungla " * 15,
+        "a\xa0b c d e f " * 20,
+        "İ i̇ İ i̇ distinct words here now",
     ]
     rows += [{"doc_id": 1000 + i, "text": t} for i, t in enumerate(edge_texts)]
     df = spark.createDataFrame(

@@ -180,3 +180,23 @@ def test_repeats_hypothesis_property(spark):
         repeats.release_cache()
 
     check()
+
+
+def test_repeats_interleaved_calls_keep_their_own_base(spark):
+    """The base frame is threaded by value (ADVICE r4): constructing a
+    second corpus's query between another corpus's stages — and even
+    swapping the shared slot — must not cross the bases."""
+    n, min_df = 10, 2
+    df1 = spark.createDataFrame(_rows(CORPUS), "doc_id long, text string")
+    other = [(91, "x " * 30), (92, "x " * 30)]
+    df2 = spark.createDataFrame(
+        [(i, t.strip()) for i, t in other], "doc_id long, text string"
+    )
+    lazy1 = repeats.strip_repeated_ngrams(df1, n=n, min_df=min_df)
+    # interleave: build (and even materialize) a query over ANOTHER corpus
+    lazy2 = repeats.repeated_ngram_spans(df2, n=n, min_df=min_df)
+    assert lazy2.count() > 0
+    got = {r.doc_id: r.text for r in lazy1.collect()}
+    want, _ = _py_oracle(CORPUS, n, min_df)
+    assert got == want
+    repeats.release_cache()
