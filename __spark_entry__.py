@@ -427,7 +427,7 @@ def q_pipeline_triples_hybrid(spark, sf):
     )
 
 
-def pipeline_full(spark, sf):
+def pipeline_full(spark, sf, provenance_k=None):
     """The COMPOSED job a real user submits (r3 VERDICT #3): crawl
     hygiene (url canonicalization -> content-digest dedup -> repetition
     filter -> boilerplate strip -> eval-set decontamination) -> mention
@@ -473,8 +473,17 @@ def pipeline_full(spark, sf):
             "eval_docs": ev,
             "decontam_n": 8,
         },
+        provenance_k=provenance_k,
     )
     return out["triples"]
+
+
+def pipeline_full_prov(spark, sf):
+    """pipeline_full with bounded top-3 evidence_urls provenance carried
+    through to the edges table (r4 VERDICT #4) — benches the single-pass
+    aggregate_triples_with_provenance against the plain rollup; the
+    delta between the two bench entries IS the provenance cost."""
+    return pipeline_full(spark, sf, provenance_k=3)
 
 
 def q_bio_eval_full(spark, sf):

@@ -55,6 +55,7 @@ HEADLINE = [
 # they exist to grade VALUES, the scale path is the max_df-guarded /
 # LSH-blocked form already benched via near_dup_groups.
 EXTENDED = [
+    "pipeline_full_prov",
     "strip_repeated_ngrams",
     "domain_stats",
     "near_dup_groups",
@@ -134,6 +135,7 @@ def main() -> None:
     # entries; see the pipeline_full / bench_strip_repeated_ngrams
     # docstrings for where their correctness is pinned instead)
     qs["pipeline_full"] = entrymod.pipeline_full
+    qs["pipeline_full_prov"] = entrymod.pipeline_full_prov
     qs["strip_repeated_ngrams"] = entrymod.bench_strip_repeated_ngrams
     qs["domain_stats"] = entrymod.bench_domain_stats
     # session warmup: JVM JIT, FS listing, python worker spin-up — none of
@@ -168,15 +170,21 @@ def main() -> None:
             "cores": cores,
         },
     }
+    # min-of-runs for the extended set too (r4 VERDICT #6): a single
+    # timing on this shared host can measure a neighbor's burst — the
+    # triangle_stats 5.03 s "regression" at load 12 was exactly that
     ext: dict[str, float] = {}
     ext_loads: dict[str, float] = {}
     for name in EXTENDED:
         if name not in qs:
             continue
         ext_loads[name] = round(os.getloadavg()[0], 2)
-        t0 = time.monotonic()
-        _materialize(qs[name](spark, sf_dir))
-        ext[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            _materialize(qs[name](spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        ext[name] = round(best, 3)
     out["extended"] = {
         "total": round(sum(ext.values()), 3),
         "queries": ext,

@@ -175,6 +175,43 @@ def evidence_urls(scored: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def aggregate_triples_with_provenance(scored: DataFrame, k: int = 3) -> DataFrame:
+    """aggregate_triples + bounded top-``k`` ``evidence_urls`` in ONE
+    pass — provably equal to ``aggregate_triples(scored)`` left-joined
+    with ``evidence_urls(scored, k)`` (property-tested), without the DAG
+    fork that would re-run pair generation once per consumer.
+
+    Plan shape: one partial-aggregated shuffle on (key, url) collapses
+    per-url duplicates, then the top-k window and the final key rollup
+    share the SAME key partitioning (no third exchange).  Aggregation
+    state per key stays O(k) — crawl-scale-safe where a collect_set of
+    URLs is not.
+    """
+    from pyspark.sql import Window
+
+    keys = ["subj_text", "pred", "obj_text", "subj_type", "obj_type"]
+    per_url = scored.groupBy(*keys, "url").agg(
+        F.count("*").alias("_n"), F.max("confidence").alias("_c")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("_c"), "url")
+    ranked = per_url.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy(*keys).agg(
+        F.sum("_n").alias("n_evidence"),
+        F.max("_c").alias("confidence"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_rk") <= k,
+                        F.struct(F.col("_rk").alias("rk"), F.col("url").alias("url")),
+                    )
+                )
+            ),
+            lambda s: s["url"],
+        ).alias("evidence_urls"),
+    )
+
+
 def extract_triples(mentions: DataFrame, max_pair_distance: int | None = None) -> DataFrame:
     if max_pair_distance is not None:
         return aggregate_triples(score_pairs(candidate_pairs(mentions, max_pair_distance)))

@@ -22,15 +22,24 @@ from .plans.lineage import StageRunner
 
 
 def canonical_triples(
-    mentions: DataFrame, threshold: float = 0.6, canon: DataFrame | None = None
+    mentions: DataFrame,
+    threshold: float = 0.6,
+    canon: DataFrame | None = None,
+    provenance_k: int | None = None,
 ) -> DataFrame:
     """Aggregated triples with canonical entity ids attached.
 
     Pass a precomputed ``canon`` (linking.canonicalize output) to reuse
     one LSH + connected-components job across triples AND node building —
-    recomputing it is a whole second iterative CC job.
+    recomputing it is a whole second iterative CC job.  ``provenance_k``
+    adds a bounded top-k ``evidence_urls`` column (single-pass
+    aggregation — no extra corpus scan).
     """
-    trips = triples_ops.extract_triples(mentions)
+    scored = triples_ops.score_pairs(triples_ops.candidate_pairs_grouped(mentions))
+    if provenance_k is not None:
+        trips = triples_ops.aggregate_triples_with_provenance(scored, k=provenance_k)
+    else:
+        trips = triples_ops.aggregate_triples(scored)
     if canon is None:
         canon = linking.canonicalize(mentions, threshold=threshold)
     canon_map = canon.select("norm", "canonical_id")
@@ -55,7 +64,7 @@ def canonical_triples(
     # the built map measures small and shuffle-joins otherwise; the skew
     # handling at this entity-linking join stays with AQE's skew-join
     # splitting either way (tests/test_plans.py pins both regimes).
-    return trips.select(
+    cols = [
         "subj_id",
         "pred",
         "obj_id",
@@ -65,7 +74,10 @@ def canonical_triples(
         "n_evidence",
         "subj_type",
         "obj_type",
-    )
+    ]
+    if provenance_k is not None:
+        cols.append("evidence_urls")
+    return trips.select(*cols)
 
 
 def clean_pages(
@@ -279,10 +291,15 @@ def eval_set_fingerprint(ev: DataFrame) -> list[int]:
 
 
 def run(
-    pages: DataFrame, link_threshold: float = 0.6, clean: dict | None = None
+    pages: DataFrame,
+    link_threshold: float = 0.6,
+    clean: dict | None = None,
+    provenance_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """Uncheckpointed single-job run (tests, small corpora).  ``clean``
-    (kwargs for :func:`clean_pages`) enables the hygiene pre-pass."""
+    (kwargs for :func:`clean_pages`) enables the hygiene pre-pass;
+    ``provenance_k`` carries a bounded top-k ``evidence_urls`` column
+    through triples into the edges table."""
     if clean is not None:
         pages = clean_pages(pages, **clean)
     # mentions feed THREE consumers (triple chain, linking vocabulary,
@@ -292,7 +309,9 @@ def run(
     # the same guarantee from a localCheckpoint.
     mentions = linking._checkpoint(tagging.extract_mentions(pages))
     canon = linking.canonicalize(mentions, threshold=link_threshold)
-    trips = canonical_triples(mentions, threshold=link_threshold, canon=canon)
+    trips = canonical_triples(
+        mentions, threshold=link_threshold, canon=canon, provenance_k=provenance_k
+    )
     return {
         "mentions": mentions,
         "triples": trips,
@@ -309,9 +328,13 @@ def run_checkpointed(
     salt_hot_domains: bool = True,
     n_salt: int = 16,
     clean: dict | None = None,
+    provenance_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """Resumable run: mention extraction and triple aggregation land under
     ``work_dir`` with per-bucket manifests (kill/re-run safe).
+    ``provenance_k`` carries a bounded top-k ``evidence_urls`` column
+    through triples into the edges table (single-pass aggregation over
+    the checkpointed scored pairs — no extra corpus scan).
 
     ``salt_hot_domains`` pre-spreads Zipf-skewed crawls: pages are
     repartitioned by (domain, xxhash64(url) % n_salt) before the UDF
@@ -354,7 +377,10 @@ def run_checkpointed(
     # not the raw corpus — and canonicalization (the expensive iterative
     # LSH + connected-components job) is itself cached as a global stage,
     # so a resumed run skips it entirely.
-    trips = triples_ops.aggregate_triples(scored)
+    if provenance_k is not None:
+        trips = triples_ops.aggregate_triples_with_provenance(scored, k=provenance_k)
+    else:
+        trips = triples_ops.aggregate_triples(scored)
     canon = runner.run_global(
         "canon",
         lambda: linking.canonicalize(mentions, threshold=link_threshold),

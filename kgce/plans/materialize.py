@@ -247,7 +247,10 @@ def build_nodes(canon: DataFrame, mentions: DataFrame, n_buckets: int = 32) -> D
 
 
 def build_edges(triples_canonical: DataFrame, n_buckets: int = 32) -> DataFrame:
-    return triples_canonical.select(
+    """Edge table projection; carries the bounded top-k ``evidence_urls``
+    provenance column through when the pipeline ran with
+    ``provenance_k`` (triples.aggregate_triples_with_provenance)."""
+    cols = [
         "subj_id",
         "pred",
         "obj_id",
@@ -255,4 +258,9 @@ def build_edges(triples_canonical: DataFrame, n_buckets: int = 32) -> DataFrame:
         "obj_text",
         "confidence",
         "n_evidence",
-    ).withColumn("bucket", F.pmod(F.col("subj_id"), F.lit(n_buckets)).cast("int"))
+    ]
+    if "evidence_urls" in triples_canonical.columns:
+        cols.append("evidence_urls")
+    return triples_canonical.select(*cols).withColumn(
+        "bucket", F.pmod(F.col("subj_id"), F.lit(n_buckets)).cast("int")
+    )

@@ -322,3 +322,33 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     upsert_parquet(upd, path, ["id"])
     again = {r.id: (r.name, r.n) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_pipeline_provenance_composes_into_edges(spark, tmp_path):
+    """provenance_k threads bounded top-k evidence_urls through run()
+    AND run_checkpointed() into the edges table, consistent with
+    n_evidence and bounded by k."""
+    pages = _pages(spark, 40, seed=17)
+    out = pipeline.run(pages, provenance_k=2)
+    trips = out["triples"].collect()
+    assert all(1 <= len(r.evidence_urls) <= 2 for r in trips)
+    # every evidence url is a real page url, and a key with n_evidence >= 2
+    # from >= 2 pages cites up to k distinct urls
+    urls = {r.url for r in pages.select("url").collect()}
+    assert all(set(r.evidence_urls) <= urls for r in trips)
+    edges = out["edges"]
+    assert "evidence_urls" in edges.columns
+    assert edges.filter(F.size("evidence_urls") == 0).count() == 0
+
+    wd = str(tmp_path / "work_prov")
+    out2 = pipeline.run_checkpointed(pages, wd, n_buckets=4, provenance_k=2)
+    edges2 = spark.read.parquet(f"{wd}/edges")
+    assert "evidence_urls" in edges2.columns
+    # the two paths agree on the provenance lists per (surface) key
+    key = ["subj_text", "pred", "obj_text"]
+    a = {tuple(r[c] for c in key): list(r.evidence_urls) for r in trips}
+    b = {
+        tuple(r[c] for c in key): list(r.evidence_urls)
+        for r in out2["triples"].collect()
+    }
+    assert a == b

@@ -102,3 +102,29 @@ def test_evidence_urls_topk_provenance(spark):
     )
     assert joined.count() == agg.count()
     scored.unpersist()
+
+
+def test_aggregate_with_provenance_single_pass_equivalence(spark):
+    """aggregate_triples_with_provenance == aggregate_triples left-joined
+    with evidence_urls — same keys, same n_evidence/confidence, same
+    bounded top-k lists — computed in one pass instead of a DAG fork."""
+    pages = synth.gen_pages(40, seed=17)
+    df = spark.createDataFrame(pages, schema=schemas.PAGES)
+    scored = triples_ops.score_pairs(
+        triples_ops.candidate_pairs_grouped(tagging.extract_mentions(df))
+    ).cache()
+    k = 2
+    keys = ["subj_text", "pred", "obj_text", "subj_type", "obj_type"]
+    got = {
+        tuple(r[c] for c in keys): (r.n_evidence, r.confidence, list(r.evidence_urls))
+        for r in triples_ops.aggregate_triples_with_provenance(scored, k=k).collect()
+    }
+    want_df = triples_ops.aggregate_triples(scored).join(
+        triples_ops.evidence_urls(scored, k=k), keys
+    )
+    want = {
+        tuple(r[c] for c in keys): (r.n_evidence, r.confidence, list(r.evidence_urls))
+        for r in want_df.collect()
+    }
+    assert got == want and len(got) > 50
+    scored.unpersist()
