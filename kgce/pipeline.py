@@ -91,6 +91,7 @@ def clean_pages(
     eval_docs: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
+    domain_cap: int | None = None,
     quality_bands: tuple[tuple[float, float], ...] | None = None,
     target_mix: dict[str, float] | None = None,
     mix_strata_col: str = "lang",
@@ -112,6 +113,12 @@ def clean_pages(
        of the capitalization-driven tagger);
     4. decontamination (optional, ``eval_docs``) — pages sharing
        ``decontam_min_hits`` n-grams with the eval set dropped;
+    4b. per-domain cap (optional, ``domain_cap``) — at most that many
+       SURVIVING pages per registrable domain, chosen by consistent
+       hash rank (operators.domains.cap_domains); runs after the
+       dropping stages so the cap counts what can actually be kept,
+       and before the samplers so quality/mixture fractions apply to
+       the capped corpus;
     5. quality-banded downsampling (optional, ``quality_bands``) — the
        GPT-3-style keep-fraction-by-quality-score filter, consistent
        md5 hash membership keyed by url (pure narrow);
@@ -225,6 +232,10 @@ def clean_pages(
         out = flagged.filter(~F.col("contaminated")).drop(
             "_rk", "n_hits", "contaminated"
         )
+    if domain_cap is not None:
+        from .operators.domains import cap_domains
+
+        out = cap_domains(out, max_pages_per_domain=domain_cap, url_col="url")
     if quality_bands is not None:
         from .operators.sampling import quality_hash_sample
 

@@ -185,7 +185,52 @@ def dedup_stream_by_digest(pages_stream: DataFrame) -> DataFrame:
     )
 
 
-def stream_triples_merge(pages_stream: DataFrame, out_path: str, ckpt: str):
+def hygiene_prefix(
+    pages: DataFrame,
+    canonical_urls: bool = True,
+    repetition: bool = True,
+    quality_bands: tuple[tuple[float, float], ...] | None = None,
+) -> DataFrame:
+    """The STATELESS (strictly per-page) subset of
+    ``pipeline.clean_pages`` — url canonicalization, the Gopher-style
+    repetition filter, quality-banded consistent downsampling.  Every
+    stage is a pure row-local decision, so the SAME function runs on a
+    streaming DataFrame (per micro-batch) and on a batch frame with
+    identical keep/rewrite decisions — which is what lets a streamed
+    corpus's hygiene output equal the batch hygiene output row-for-row
+    (pinned in test_streaming).
+
+    Deliberately excluded here: the cross-document stages (exact dedup,
+    boilerplate/repeats document frequencies, decontamination, mixture
+    realization) — those need corpus-global state; their streaming
+    counterparts are the stateful dedup operators above, or a periodic
+    batch pass over the merged table.  No partition guard either: each
+    micro-batch arrives already split by the file source.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators import textstats
+    from .operators.sampling import quality_hash_sample
+    from .operators.urlnorm import canonicalize_url
+
+    out = pages
+    if canonical_urls:
+        out = out.withColumn("url", canonicalize_url(F.col("url")))
+    if repetition:
+        out = textstats.repetition_filter(out, id_col="url", text_col="text")
+    if quality_bands is not None:
+        out = quality_hash_sample(
+            out, bands=quality_bands, key_col="url", text_col="text"
+        )
+    return out
+
+
+def stream_triples_merge(
+    pages_stream: DataFrame,
+    out_path: str,
+    ckpt: str,
+    hygiene: dict | None = None,
+):
     """Incremental KG maintenance: each micro-batch of crawled pages
     runs the hybrid triple chain (Python tags, JVM pairs, partial-agg
     groupBy) and MERGES its aggregated triples into the edges-source
@@ -195,9 +240,18 @@ def stream_triples_merge(pages_stream: DataFrame, out_path: str, ckpt: str):
     (stream == batch pinned in test_streaming).  Replayed micro-batches
     are skipped via the epoch markers inside the table directory
     (plans.materialize.merge_aggregated_triples — swap-atomic, so the
-    additive merge stays exactly-once)."""
+    additive merge stays exactly-once).
+
+    ``hygiene`` (kwargs for :func:`hygiene_prefix`) runs the stateless
+    crawl-hygiene subset INSIDE the stream, before extraction — the
+    composed stream equals clean_pages-then-extract batch output
+    because every prefix stage is row-local and the merge is
+    associative (pinned in test_streaming)."""
     from .operators import triples as triples_ops
     from .plans.materialize import merge_aggregated_triples
+
+    if hygiene is not None:
+        pages_stream = hygiene_prefix(pages_stream, **hygiene)
 
     def _merge(batch_df, epoch_id):
         if batch_df.isEmpty():

@@ -295,3 +295,50 @@ def test_merge_recovers_interrupted_swap(spark, tmp_path):
     mat.merge_aggregated_triples(mk(t1), str(out), epoch_id=1)
     assert table() == [("a", "rel:x", "b", "per", "loc", 5, 0.9)]
     assert base == [("a", "rel:x", "b", "per", "loc", 2, 0.5)]
+
+
+def test_stream_hygiene_prefix_composes_with_triples_merge(spark, tmp_path):
+    """r4 VERDICT #5: the stateless hygiene prefix runs INSIDE the
+    stream before extraction, and the composed stream (two waves)
+    equals clean_pages-then-extract over the union in one batch —
+    row-local hygiene decisions + associative triple merge."""
+    from kgce import pipeline
+    from kgce.operators import triples as triples_ops
+
+    in_dir = str(tmp_path / "hp_in")
+    out = str(tmp_path / "hp_edges")
+    ckpt = str(tmp_path / "hp_ckpt")
+    bands = ((0.0, 0.6),)
+    hyg = {"canonical_urls": True, "repetition": True, "quality_bands": bands}
+    wave1 = synth.gen_pages(15, seed=81)
+    wave2 = synth.gen_pages(10, seed=82)
+
+    _write_pages(spark, in_dir, wave1)
+    q = streaming.stream_triples_merge(
+        streaming.stream_pages(spark, in_dir), out, ckpt, hygiene=hyg
+    )
+    assert q.awaitTermination(300)
+    _write_pages(spark, in_dir, wave2)
+    q2 = streaming.stream_triples_merge(
+        streaming.stream_pages(spark, in_dir), out, ckpt, hygiene=hyg
+    )
+    assert q2.awaitTermination(300)
+
+    cols = ["subj_text", "pred", "obj_text", "subj_type", "obj_type",
+            "n_evidence", "confidence"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    cleaned = pipeline.clean_pages(
+        spark.createDataFrame(wave1 + wave2, schema=schemas.PAGES),
+        canonical_urls=True,
+        exact_dedup=False,
+        repetition=True,
+        quality_bands=bands,
+    )
+    want = sorted(map(tuple,
+                      triples_ops.extract_triples_hybrid(cleaned).select(*cols).collect()))
+    assert got == want and len(got) > 0
+    # the hygiene actually dropped something (non-vacuous composition)
+    n_all = triples_ops.extract_triples_hybrid(
+        spark.createDataFrame(wave1 + wave2, schema=schemas.PAGES)
+    ).count()
+    assert len(got) < n_all
