@@ -175,11 +175,12 @@ def evidence_urls(scored: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def aggregate_triples_with_provenance(scored: DataFrame, k: int = 3) -> DataFrame:
-    """aggregate_triples + bounded top-``k`` ``evidence_urls`` in ONE
-    pass — provably equal to ``aggregate_triples(scored)`` left-joined
-    with ``evidence_urls(scored, k)`` (property-tested), without the DAG
-    fork that would re-run pair generation once per consumer.
+def aggregate_triples_with_evidence(scored: DataFrame, k: int = 3) -> DataFrame:
+    """aggregate_triples + bounded top-``k`` ``evidence`` structs
+    (url, confidence) in ONE pass.  The per-url confidence makes the
+    bounded top-k MERGEABLE across increments (materialize.
+    merge_aggregated_triples's provenance path) — a plain url list
+    cannot re-rank on merge.
 
     Plan shape: one partial-aggregated shuffle on (key, url) collapses
     per-url duplicates, then the top-k window and the final key rollup
@@ -203,13 +204,32 @@ def aggregate_triples_with_provenance(scored: DataFrame, k: int = 3) -> DataFram
                 F.collect_list(
                     F.when(
                         F.col("_rk") <= k,
-                        F.struct(F.col("_rk").alias("rk"), F.col("url").alias("url")),
+                        F.struct(
+                            F.col("_rk").alias("rk"),
+                            F.col("url").alias("url"),
+                            F.col("_c").alias("confidence"),
+                        ),
                     )
                 )
             ),
-            lambda s: s["url"],
-        ).alias("evidence_urls"),
+            lambda s: F.struct(s["url"].alias("url"), s["confidence"].alias("confidence")),
+        ).alias("evidence"),
     )
+
+
+def aggregate_triples_with_provenance(scored: DataFrame, k: int = 3) -> DataFrame:
+    """aggregate_triples + bounded top-``k`` ``evidence_urls`` in ONE
+    pass — provably equal to ``aggregate_triples(scored)`` left-joined
+    with ``evidence_urls(scored, k)`` (property-tested), without the DAG
+    fork that would re-run pair generation once per consumer.  Same
+    plan as :func:`aggregate_triples_with_evidence` (which see for the
+    shape analysis); this form carries urls only — the pipeline/edges
+    column — while the struct form feeds the streaming merge.
+    """
+    ev = aggregate_triples_with_evidence(scored, k)
+    return ev.withColumn(
+        "evidence_urls", F.transform("evidence", lambda s: s["url"])
+    ).drop("evidence")
 
 
 def extract_triples(mentions: DataFrame, max_pair_distance: int | None = None) -> DataFrame:

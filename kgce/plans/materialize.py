@@ -151,8 +151,74 @@ def upsert_parquet(updates: DataFrame, path: str, keys: list[str]) -> None:
 TRIPLE_KEYS = ["subj_text", "pred", "obj_text", "subj_type", "obj_type"]
 
 
+def _rollup_with_evidence(u: DataFrame, k: int) -> DataFrame:
+    """Re-aggregate a union of evidence-carrying triple frames
+    (triples.aggregate_triples_with_evidence schema): n_evidence sums,
+    confidence maxes, and the bounded ``evidence`` lists merge into the
+    top-``k`` (url, confidence) pairs of the union — per-url max
+    confidence, ranked (confidence desc, url).
+
+    Single pass, same 2-exchange shape as the batch aggregation: the
+    structs explode, a (key, url) partial-agg collapses duplicates
+    (row-level n_evidence/confidence attributed once via the head
+    element so nothing double-counts), then the top-k window and the
+    final rollup share one key partitioning.
+
+    Bounded-merge semantics, stated honestly: each increment keeps only
+    its own top-k, so a url dropped in one increment re-enters later
+    with an understated confidence.  Guarantees that DO hold: merged
+    urls are always a subset of the true evidence urls; each merged
+    confidence is a true (possibly stale) confidence for that url; the
+    top-1 url and its confidence are EXACT (the strongest url is never
+    dropped by the increment where it attains its max); and with
+    k >= distinct urls per key the whole merge is exact.  Iceberg gets
+    the same trade-off — bounded provenance is approximate under
+    increments or unbounded, pick one; 10^12 pages picks bounded.
+    """
+    from pyspark.sql import Window
+
+    e = u.select(
+        *TRIPLE_KEYS,
+        "n_evidence",
+        "confidence",
+        F.posexplode_outer("evidence").alias("_pos", "_ev"),
+    )
+    head = F.col("_pos").isNull() | (F.col("_pos") == 0)
+    per_url = e.groupBy(*TRIPLE_KEYS, F.col("_ev.url").alias("_u")).agg(
+        F.sum(F.when(head, F.col("n_evidence")).otherwise(F.lit(0))).alias("_n"),
+        F.max(F.when(head, F.col("confidence"))).alias("_rowc"),
+        F.max("_ev.confidence").alias("_c"),
+    )
+    w = Window.partitionBy(*TRIPLE_KEYS).orderBy(F.desc("_c"), "_u")
+    ranked = per_url.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy(*TRIPLE_KEYS).agg(
+        F.sum("_n").alias("n_evidence"),
+        F.max("_rowc").alias("confidence"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_u").isNotNull() & (F.col("_rk") <= k),
+                        F.struct(
+                            F.col("_rk").alias("rk"),
+                            F.col("_u").alias("url"),
+                            F.col("_c").alias("confidence"),
+                        ),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["url"].alias("url"), s["confidence"].alias("confidence")
+            ),
+        ).alias("evidence"),
+    )
+
+
 def merge_aggregated_triples(
-    new_trips: DataFrame, path: str, epoch_id: int | None = None
+    new_trips: DataFrame,
+    path: str,
+    epoch_id: int | None = None,
+    provenance_k: int | None = None,
 ) -> None:
     """MERGE-with-aggregation analog for incremental KG maintenance: on
     Iceberg this is ``MERGE INTO edges e USING batch b ON <TRIPLE_KEYS>
@@ -161,7 +227,11 @@ def merge_aggregated_triples(
     WHEN NOT MATCHED THEN INSERT *`` — here, re-aggregation of the
     union (sum/max are ASSOCIATIVE, so any micro-batch partitioning of
     the corpus converges to the identical table) plus the same atomic
-    directory swap as upsert_parquet.
+    directory swap as upsert_parquet.  With ``provenance_k`` (and an
+    ``evidence`` column — triples.aggregate_triples_with_evidence), the
+    bounded top-k (url, confidence) provenance lists merge too
+    (:func:`_rollup_with_evidence` — see its docstring for the exact
+    bounded-merge guarantees).
 
     Exactly-once under foreachBatch replays: an additive merge is NOT
     idempotent, so each merged ``epoch_id`` leaves an ``_epoch_<id>``
@@ -187,15 +257,18 @@ def merge_aggregated_triples(
         merged = new_trips
     else:
         existing = spark.read.parquet(str(p))
-        merged = (
-            existing.unionByName(new_trips.select(*existing.columns))
-            .groupBy(*TRIPLE_KEYS)
-            .agg(
-                F.sum("n_evidence").alias("n_evidence"),
-                F.max("confidence").alias("confidence"),
+        u = existing.unionByName(new_trips.select(*existing.columns))
+        if provenance_k is not None and "evidence" in existing.columns:
+            merged = _rollup_with_evidence(u, provenance_k).select(*existing.columns)
+        else:
+            merged = (
+                u.groupBy(*TRIPLE_KEYS)
+                .agg(
+                    F.sum("n_evidence").alias("n_evidence"),
+                    F.max("confidence").alias("confidence"),
+                )
+                .select(*existing.columns)
             )
-            .select(*existing.columns)
-        )
     staging = _staging_of(p)
     merged.write.mode("overwrite").parquet(str(staging))
     if p.exists():

@@ -230,6 +230,7 @@ def stream_triples_merge(
     out_path: str,
     ckpt: str,
     hygiene: dict | None = None,
+    provenance_k: int | None = None,
 ):
     """Incremental KG maintenance: each micro-batch of crawled pages
     runs the hybrid triple chain (Python tags, JVM pairs, partial-agg
@@ -246,7 +247,12 @@ def stream_triples_merge(
     crawl-hygiene subset INSIDE the stream, before extraction — the
     composed stream equals clean_pages-then-extract batch output
     because every prefix stage is row-local and the merge is
-    associative (pinned in test_streaming)."""
+    associative (pinned in test_streaming).
+
+    ``provenance_k`` maintains bounded top-k (url, confidence) evidence
+    per triple ACROSS increments (materialize._rollup_with_evidence —
+    exact when k covers a key's distinct urls, honestly-bounded
+    otherwise; see its docstring)."""
     from .operators import triples as triples_ops
     from .plans.materialize import merge_aggregated_triples
 
@@ -256,8 +262,19 @@ def stream_triples_merge(
     def _merge(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
+        if provenance_k is not None:
+            trips = triples_ops.aggregate_triples_with_evidence(
+                triples_ops.score_pairs(
+                    triples_ops.pairs_from_sentence_mentions(
+                        tagging.extract_sentence_mentions(batch_df)
+                    )
+                ),
+                k=provenance_k,
+            )
+        else:
+            trips = triples_ops.extract_triples_hybrid(batch_df)
         merge_aggregated_triples(
-            triples_ops.extract_triples_hybrid(batch_df), out_path, epoch_id=epoch_id
+            trips, out_path, epoch_id=epoch_id, provenance_k=provenance_k
         )
 
     return (

@@ -258,3 +258,21 @@ def test_ensure_min_partitions_adaptive(spark):
     assert big is adaptive
     gplan = guarded._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(id" in gplan
+
+
+def test_provenance_agg_two_exchanges_no_fork(spark):
+    """aggregate_triples_with_provenance: one Python stage, exactly TWO
+    exchanges — (key, url) partial-agg shuffle, then ONE key shuffle
+    shared by the top-k window AND the final rollup (no third exchange,
+    no DAG fork re-running pair generation per consumer)."""
+    from kgce import tagging
+
+    scored = triples.score_pairs(
+        triples.pairs_from_sentence_mentions(
+            tagging.extract_sentence_mentions(_pages(spark))
+        )
+    )
+    plan = _plan(triples.aggregate_triples_with_provenance(scored, k=3))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 2
+    assert "SortAggregate" not in plan

@@ -342,3 +342,70 @@ def test_stream_hygiene_prefix_composes_with_triples_merge(spark, tmp_path):
         spark.createDataFrame(wave1 + wave2, schema=schemas.PAGES)
     ).count()
     assert len(got) < n_all
+
+
+def test_stream_triples_merge_with_provenance(spark, tmp_path):
+    """Bounded evidence provenance maintained ACROSS streamed increments:
+    with k covering every key's distinct urls the merge is EXACT vs one
+    batch; with small k the documented bounded-merge guarantees hold
+    (subset of true urls, exact top-1, exact n_evidence/confidence)."""
+    from kgce import tagging
+    from kgce.operators import triples as triples_ops
+
+    wave1 = synth.gen_pages(15, seed=71)
+    wave2 = synth.gen_pages(10, seed=72)
+    union_pages = spark.createDataFrame(wave1 + wave2, schema=schemas.PAGES)
+
+    def batch_evidence(k):
+        scored = triples_ops.score_pairs(
+            triples_ops.pairs_from_sentence_mentions(
+                tagging.extract_sentence_mentions(union_pages)
+            )
+        )
+        return triples_ops.aggregate_triples_with_evidence(scored, k=k)
+
+    def run_stream(k, tag):
+        in_dir = str(tmp_path / f"pv_in_{tag}")
+        out = str(tmp_path / f"pv_edges_{tag}")
+        ckpt = str(tmp_path / f"pv_ckpt_{tag}")
+        _write_pages(spark, in_dir, wave1)
+        q = streaming.stream_triples_merge(
+            streaming.stream_pages(spark, in_dir), out, ckpt, provenance_k=k
+        )
+        assert q.awaitTermination(300)
+        _write_pages(spark, in_dir, wave2)
+        q2 = streaming.stream_triples_merge(
+            streaming.stream_pages(spark, in_dir), out, ckpt, provenance_k=k
+        )
+        assert q2.awaitTermination(300)
+        return spark.read.parquet(out)
+
+    keys = ["subj_text", "pred", "obj_text", "subj_type", "obj_type"]
+
+    def as_map(df):
+        return {
+            tuple(r[c] for c in keys): (
+                r.n_evidence,
+                r.confidence,
+                [(e.url, e.confidence) for e in r.evidence],
+            )
+            for r in df.collect()
+        }
+
+    # k >= any key's distinct urls (25 pages total) -> exact merge
+    got = as_map(run_stream(50, "big"))
+    want = as_map(batch_evidence(50))
+    assert got == want and len(got) > 0
+
+    # small k: bounded guarantees
+    got2 = as_map(run_stream(2, "small"))
+    exact = as_map(batch_evidence(2))
+    full = as_map(batch_evidence(50))
+    assert set(got2) == set(exact)
+    for key, (n, c, ev) in got2.items():
+        n_x, c_x, ev_x = exact[key]
+        assert (n, c) == (n_x, c_x)          # counts/conf always exact
+        assert len(ev) <= 2
+        true_urls = {u for u, _ in full[key][2]}
+        assert {u for u, _ in ev} <= true_urls   # never a fabricated url
+        assert ev[0] == ev_x[0]              # top-1 (url, conf) exact
