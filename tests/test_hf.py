@@ -270,9 +270,12 @@ def test_fake_hf_tagger_on_spark_pipeline(spark, fake_hf):
             toks = oracle.tokenize(text[s:e], base=s)
             if not toks:
                 continue
+            # tagger sees RAW whitespace tokens; span decode consumes the
+            # EDGE_PUNCT-stripped cores — mirrors tagging._tagged_page_sentences
+            cores = [oracle.core_token_offsets(*t) for t in toks]
             labels = oracle.fix_bio(fake_expected_word_labels([t[0] for t in toks]))
             for sp in oracle.decode_spans_converter(
-                [t[0] for t in toks], [(t[1], t[2]) for t in toks], labels
+                [c[0] for c in cores], [(c[1], c[2]) for c in cores], labels
             ):
                 page_ms.append((sid, sp.text, sp.char_s, sp.char_e, sp.etype))
         page_ms.sort(key=lambda x: (x[2], x[3]))
