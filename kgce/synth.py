@@ -147,3 +147,58 @@ def gen_bio_fixture(n_sents: int, seed: int = 13, max_len: int = 20) -> list[dic
             }
         )
     return rows
+
+
+def gen_linked_pages(
+    n_pages: int,
+    seed: int = 13,
+    max_links: int = 6,
+    junk_frac: float = 0.2,
+    **gen_kw,
+) -> list[dict]:
+    """``gen_pages`` plus a deterministic ``<nav>`` block of ``<a href>``
+    links per page (FIXTURES-style F1 extension for the link-graph
+    operators).
+
+    Link targets follow the same Zipf skew as the domain pool (hot
+    pages collect in-links, giving PageRank a non-uniform fixed point).
+    Href forms are mixed on purpose — absolute, root-relative,
+    path-relative (incl. ``../`` dot segments), protocol-relative — and
+    a ``junk_frac`` share of non-navigational refs (mailto:,
+    javascript:, bare fragments) that extract_links must NULL out.
+    Anchor texts land in ``text`` too, so html_to_text(html) == text
+    byte-identically (the pipeline's per-row invariant).
+    """
+    rows = gen_pages(n_pages, seed=seed, **gen_kw)
+    rng = random.Random(seed * 7919 + 17)
+    for i, row in enumerate(rows):
+        k = rng.randint(0, max_links)
+        anchors, frags = [], []
+        for _ in range(k):
+            if rng.random() < junk_frac:
+                href = rng.choice(
+                    ["mailto:ab@example.org", "javascript:void(0)", "#top", ""]
+                )
+                anchor = rng.choice(["contact", "top", "more info"])
+            else:
+                j = int(len(rows) * rng.random() ** 2.5)  # Zipf-ish hot targets
+                target = rows[min(j, len(rows) - 1)]["url"]
+                form = rng.randrange(4)
+                if form == 0:
+                    href = target  # absolute
+                elif form == 1:
+                    href = target.split(".example", 1)[1]  # root-relative /page/j
+                elif form == 2:
+                    href = "../" + target.rsplit("/", 2)[-2] + "/" + target.rsplit("/", 1)[-1]
+                else:
+                    href = target.split("https:", 1)[1]  # protocol-relative
+                anchor = " ".join(
+                    rng.choice(_ENTITIES) for _ in range(rng.randint(1, 2))
+                )
+            anchors.append(anchor)
+            frags.append(f'<a href="{href}">{anchor}</a>')
+        nav = (" <nav>" + " ".join(frags) + "</nav>") if frags else ""
+        body = row["text"] + nav
+        row["html"] = ("<html><body>" + body + "</body></html>").encode("utf-8")
+        row["text"] = (row["text"] + " " + " ".join(a for a in anchors)).strip()
+    return rows
