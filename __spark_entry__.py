@@ -186,25 +186,88 @@ def q_topk_orders(spark, sf):
     )
 
 
-def q_revenue_by_nation(spark, sf):
-    o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count("*").alias("n_orders"))
+def _linked_pages(spark, sf):
+    """documents -> (url, html): a deterministic crawl with a real
+    ``<a href>`` block per page, synthesized by COLUMN ARITHMETIC so the
+    DuckDB oracle rebuilds the identical corpus (no external data, per
+    the round brief).  Exercises every resolve_href branch that keeps a
+    row (absolute / root-relative / protocol-relative) plus two junk
+    refs (#fragment, mailto:) that must resolve to NULL.  All URLs are
+    canonical-by-construction (lowercase, no port/tracking, non-empty
+    path) so ``canonicalize_url`` is the identity on them and the
+    graded values isolate the LINK operators; canonicalization itself
+    is graded separately by `url_canonical`."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+
+    def _s(e):
+        return e.cast("string")
+
+    url = F.concat(F.lit("http://site"), _s(d % 40), F.lit(".example/d"), _s(d))
+    html = F.concat(
+        F.lit('<p>intro</p><a href="http://site'),
+        _s((d * 7 + 1) % 40),
+        F.lit(".example/d"),
+        _s((d * 31) % 997),
+        F.lit('">anchor '),
+        _s(d % 11),
+        F.lit("</a><a href='/p/"),
+        _s(d % 7),
+        F.lit("'>sec "),
+        _s(d % 5),
+        F.lit('</a><a href="//cdn'),
+        _s(d % 5),
+        F.lit('.example/x">cdn asset</a><a href="#top">top</a>'),
+        F.when(d % 3 == 0, F.lit('<a href="mailto:x@example.org">mail</a>')).otherwise(
+            F.lit("")
+        ),
     )
+    return docs.select(url.alias("url"), html.alias("html"))
 
 
-def q_customers_without_orders(spark, sf):
-    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+def q_link_hosts(spark, sf):
+    """Host-level web graph over the synthesized crawl: regexp link
+    extraction (narrow scan-shaped projection) -> href resolution ->
+    two-level (pair, src)-then-pair rollup.  Counts only — exchange-safe
+    under ensure_min_partitions."""
+    from kgce.operators import links as links_ops
+
+    lk = links_ops.extract_links(_linked_pages(spark, sf), html_col="html")
+    return links_ops.host_graph(lk)
 
 
-def q_suppliers_semi(spark, sf):
-    s, li = _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
-    heavy = li.filter(F.col("l_quantity") > 45)
-    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+def q_anchor_dict(spark, sf):
+    """Anchor dictionary (the entity linker's P(target | surface form)
+    prior): normalized anchor text -> resolved target with count and
+    within-anchor share."""
+    from kgce.operators import links as links_ops
+
+    lk = links_ops.extract_links(_linked_pages(spark, sf), html_col="html")
+    return links_ops.anchor_stats(lk, min_count=2)
+
+
+def q_recrawl_delta(spark, sf):
+    """Recrawl snapshot classification (added/removed/changed/unchanged
+    by content digest) — the full-outer url join that decides which
+    pages the tagger re-runs on.  Old and new snapshots are carved
+    deterministically out of `documents` (removed: doc_id%13==3 missing
+    from new; added: doc_id%17==5 missing from old; changed: text
+    suffixed for doc_id%10==0)."""
+    from kgce.operators import delta as delta_ops
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://site"), (d % 40).cast("string"), F.lit(".example/d"), d.cast("string")
+    )
+    old = docs.filter(d % 17 != 5).select(url.alias("url"), "text")
+    new = docs.filter(d % 13 != 3).select(
+        url.alias("url"),
+        F.when(d % 10 == 0, F.concat(F.col("text"), F.lit(" [recrawl v2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return delta_ops.snapshot_delta(old, new)
 
 
 def q_top_order_per_customer(spark, sf):
@@ -877,9 +940,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "rollup_returns": q_rollup_returns,
         "topk_orders": q_topk_orders,
-        "revenue_by_nation": q_revenue_by_nation,
-        "customers_without_orders": q_customers_without_orders,
-        "suppliers_semi": q_suppliers_semi,
+        # link graph + recrawl deltas (r5: replaced three generic TPC-H
+        # join demos — semi/anti stay evidenced by decontam/boilerplate
+        # and the eval FN/FP joins; full-outer is NEWLY graded here)
+        "link_hosts": q_link_hosts,
+        "anchor_dict": q_anchor_dict,
+        "recrawl_delta": q_recrawl_delta,
         "top_order_per_customer": q_top_order_per_customer,
         "user_sessions": q_user_sessions,
         "event_transitions": q_event_transitions,
@@ -930,6 +996,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _MENTIONS = mentions_sql()
 _MENTIONS_P4 = mentions_sql(min_token_len=4)
+
+
+def _linked_cte_sql() -> str:
+    """Shared DuckDB CTE chain replicating `_linked_pages` +
+    `links.extract_links`: the IDENTICAL a-tag regex (RE2-safe by
+    construction, parity pinned in tests/test_links.py), the same
+    markup-strip/entity-decode/squeeze anchor chain, and the same
+    resolve_href branch order including the four bounded dot-segment
+    passes (identity on this corpus — no '..' hrefs — kept anyway so
+    the oracle is the full algorithm, not a corpus-specific shortcut)."""
+    from kgce.operators.links import A_TAG_PATTERN
+    from kgce.sources.warc import _ENTITIES
+
+    pat = A_TAG_PATTERN.replace("'", "''")
+    ent_chain = "regexp_replace(regexp_extract(tag, '" + pat + "', 2), '(?s)<[^>]+>', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        ent_chain = (
+            "replace(" + ent_chain + ", '" + ent.replace("'", "''") + "', '"
+            + rep.replace("'", "''") + "')"
+        )
+    resolve = r"""
+        CASE WHEN h = '' THEN NULL
+             WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN h
+             WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+             WHEN h LIKE '//%' THEN
+               lower(regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || ':' || h
+             WHEN h LIKE '/%' THEN
+               regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || h
+             ELSE regexp_extract(src, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+                  || CASE WHEN regexp_replace(regexp_extract(src,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '[^/]*$', '') = ''
+                     THEN '/' ELSE regexp_replace(regexp_extract(src,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '[^/]*$', '') END
+                  || h
+        END"""
+    return f"""
+      pages AS (
+        SELECT 'http://site' || (doc_id % 40)::VARCHAR || '.example/d' || doc_id::VARCHAR AS src,
+               '<p>intro</p><a href="http://site' || ((doc_id * 7 + 1) % 40)::VARCHAR
+               || '.example/d' || ((doc_id * 31) % 997)::VARCHAR
+               || '">anchor ' || (doc_id % 11)::VARCHAR
+               || '</a><a href=''/p/' || (doc_id % 7)::VARCHAR
+               || '''>sec ' || (doc_id % 5)::VARCHAR
+               || '</a><a href="//cdn' || (doc_id % 5)::VARCHAR
+               || '.example/x">cdn asset</a><a href="#top">top</a>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<a href="mailto:x@example.org">mail</a>' ELSE '' END AS html
+        FROM documents
+      ),
+      tags AS (
+        SELECT src, unnest(regexp_extract_all(html, '{pat}', 0)) AS tag FROM pages
+      ),
+      parts AS (
+        SELECT src,
+               regexp_replace(regexp_extract(tag, '{pat}', 1), '#.*$', '') AS h,
+               trim(regexp_replace({ent_chain}, '\\s+', ' ', 'g')) AS anchor
+        FROM tags
+      ),
+      r0 AS (SELECT src, anchor, {resolve} AS dst FROM parts),
+      r1 AS (SELECT src, anchor, regexp_replace(regexp_replace(dst,
+               '/[^/.][^/]*/\\.\\.(/|$)', '/', 'g'), '/\\./', '/', 'g') AS dst FROM r0),
+      r2 AS (SELECT src, anchor, regexp_replace(regexp_replace(dst,
+               '/[^/.][^/]*/\\.\\.(/|$)', '/', 'g'), '/\\./', '/', 'g') AS dst FROM r1),
+      r3 AS (SELECT src, anchor, regexp_replace(regexp_replace(dst,
+               '/[^/.][^/]*/\\.\\.(/|$)', '/', 'g'), '/\\./', '/', 'g') AS dst FROM r2),
+      links AS (SELECT src, anchor, regexp_replace(regexp_replace(dst,
+               '/[^/.][^/]*/\\.\\.(/|$)', '/', 'g'), '/\\./', '/', 'g') AS dst FROM r3)
+    """
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _WORDS = f"string_split({_NORM}, ' ')"
@@ -1537,19 +1671,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
-        "revenue_by_nation": """
-            SELECT n_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
-            FROM orders JOIN customer ON o_custkey = c_custkey
-                        JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY n_name
+        "link_hosts": f"""
+            WITH {_linked_cte_sql()},
+            hosts AS (
+              SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src_host,
+                     regexp_extract(dst, '^[a-z]+://([^/]+)', 1) AS dst_host,
+                     src
+              FROM links WHERE dst IS NOT NULL
+            ),
+            per_page AS (
+              SELECT src_host, dst_host, src, count(*) AS _n FROM hosts
+              WHERE src_host <> dst_host GROUP BY 1, 2, 3
+            )
+            SELECT src_host, dst_host,
+                   CAST(sum(_n) AS BIGINT) AS n_links,
+                   CAST(count(*) AS BIGINT) AS n_src_pages
+            FROM per_page GROUP BY 1, 2
         """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        "anchor_dict": f"""
+            WITH {_linked_cte_sql()},
+            base AS (
+              SELECT lower(trim(anchor)) AS anchor_norm, dst,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM links WHERE dst IS NOT NULL AND trim(anchor) <> ''
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT anchor_norm, dst, n,
+                   round(n::DOUBLE / (sum(n) OVER (PARTITION BY anchor_norm))::DOUBLE, 6)
+                     AS anchor_share
+            FROM base
         """,
-        "suppliers_semi": """
-            SELECT s_suppkey, s_name FROM supplier
-            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        "recrawl_delta": """
+            WITH old AS (
+              SELECT 'http://site' || (doc_id % 40)::VARCHAR || '.example/d'
+                     || doc_id::VARCHAR AS url,
+                     md5(text) AS _od
+              FROM documents WHERE doc_id % 17 <> 5
+            ),
+            new AS (
+              SELECT 'http://site' || (doc_id % 40)::VARCHAR || '.example/d'
+                     || doc_id::VARCHAR AS url,
+                     md5(CASE WHEN doc_id % 10 = 0 THEN text || ' [recrawl v2]'
+                              ELSE text END) AS _nd
+              FROM documents WHERE doc_id % 13 <> 3
+            )
+            SELECT url,
+                   CASE WHEN _od IS NULL THEN 'added'
+                        WHEN _nd IS NULL THEN 'removed'
+                        WHEN _od <> _nd THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM old FULL OUTER JOIN new USING (url)
         """,
         "top_order_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
