@@ -56,7 +56,10 @@ HEADLINE = [
 # LSH-blocked form already benched via near_dup_groups.
 EXTENDED = [
     "pipeline_full_prov",
+    "link_pagerank",
+    "recrawl_maintain",
     "strip_repeated_ngrams",
+    "lm_perplexity",
     "domain_stats",
     "near_dup_groups",
     "sequence_packing",
@@ -138,6 +141,11 @@ def main() -> None:
     qs["pipeline_full_prov"] = entrymod.pipeline_full_prov
     qs["strip_repeated_ngrams"] = entrymod.bench_strip_repeated_ngrams
     qs["domain_stats"] = entrymod.bench_domain_stats
+    qs["link_pagerank"] = entrymod.bench_link_pagerank
+    qs["lm_perplexity"] = entrymod.bench_lm_perplexity
+    # min-of-N semantics matter here: run 1 builds the prev-snapshot KG
+    # state (cached), run 2+ measure the pure incremental maintenance
+    qs["recrawl_maintain"] = entrymod.bench_recrawl_maintain
     # session warmup: JVM JIT, FS listing, python worker spin-up — none of
     # it belongs to the first measured query
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()

