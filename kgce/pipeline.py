@@ -92,6 +92,8 @@ def clean_pages(
     decontam_n: int = 8,
     decontam_min_hits: int = 1,
     domain_cap: int | None = None,
+    lm_model=None,
+    max_ppl: float | None = None,
     quality_bands: tuple[tuple[float, float], ...] | None = None,
     target_mix: dict[str, float] | None = None,
     mix_strata_col: str = "lang",
@@ -113,6 +115,11 @@ def clean_pages(
        of the capitalization-driven tagger);
     4. decontamination (optional, ``eval_docs``) — pages sharing
        ``decontam_min_hits`` n-grams with the eval set dropped;
+    4a. LM perplexity gate (optional, ``lm_model`` + ``max_ppl``) — the
+       CCNet-style quality filter: pages whose bigram perplexity under
+       the TRUSTED-corpus model exceeds ``max_ppl`` are dropped
+       (operators.lmfilter; the model is an input — trained once on a
+       trusted corpus, never on the crawl being cleaned);
     4b. per-domain cap (optional, ``domain_cap``) — at most that many
        SURVIVING pages per registrable domain, chosen by consistent
        hash rank (operators.domains.cap_domains); runs after the
@@ -232,6 +239,24 @@ def clean_pages(
         out = flagged.filter(~F.col("contaminated")).drop(
             "_rk", "n_hits", "contaminated"
         )
+    if lm_model is not None:
+        if max_ppl is None:
+            raise ValueError("clean_pages: lm_model requires max_ppl")
+        # perplexity_filter consumes its input from two subtrees (the
+        # scoring explode and the rejoin side) — materialize first so
+        # the hygiene prefix doesn't re-execute per consumer (the same
+        # multi-consumer discipline as the boilerplate/decontam gate).
+        # Row-keyed by md5(url, text) like every stage above: two
+        # different-content crawls of one url score independently.
+        from .operators.lmfilter import perplexity_filter
+        from .operators.linking import _checkpoint
+
+        out = _checkpoint(out).withColumn(
+            "_rk", F.md5(F.concat_ws("\x00", F.col("url"), F.col("text")))
+        )
+        out = perplexity_filter(
+            out, lm_model, max_ppl, id_col="_rk", text_col="text"
+        ).drop("_rk", "ppl")
     if domain_cap is not None:
         from .operators.domains import cap_domains
 

@@ -381,3 +381,59 @@ def test_clean_pages_domain_cap_composes(spark):
     assert sorted(r.url for r in out.select("url").collect()) == sorted(
         r.url for r in out2.select("url").collect()
     )
+
+
+def test_clean_pages_lm_gate_composes(spark):
+    """clean_pages(lm_model=, max_ppl=) drops exactly the pages the
+    standalone perplexity_filter drops (row-keyed, composed after
+    dedup), and the gate requires max_ppl."""
+    from kgce.operators import lmfilter
+
+    trusted = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    lm = lmfilter.train_bigram_lm(trusted, vocab_size=64, alpha=0.1)
+
+    # plant one in-domain page and one gibberish page
+    rows = list(synth.gen_pages(40, seed=11))
+    ts = rows[0]["warc_ts"]
+    rows.append(
+        dict(
+            url="http://zz.example/good",
+            warc_ts=ts,
+            html=b"",
+            text="the quick brown fox jumps over the lazy dog",
+            lang="en",
+        )
+    )
+    rows.append(
+        dict(
+            url="http://zz.example/junk",
+            warc_ts=ts,
+            html=b"",
+            text="zx qv jj kw pz yx bq vv zz qq",
+            lang="en",
+        )
+    )
+    df = spark.createDataFrame(rows, schema=schemas.PAGES)
+
+    out = pipeline.clean_pages(
+        df, exact_dedup=True, repetition=False, lm_model=lm, max_ppl=6.0
+    )
+    kept = {r.url for r in out.select("url").collect()}
+    assert "http://zz.example/good" in kept
+    assert "http://zz.example/junk" not in kept
+
+    # parity with the standalone filter over the same (deduped) input
+    base = pipeline.clean_pages(df, exact_dedup=True, repetition=False)
+    rk = F.md5(F.concat_ws("\x00", F.col("url"), F.col("text")))
+    manual = lmfilter.perplexity_filter(
+        base.withColumn("_rk", rk), lm, 6.0, id_col="_rk"
+    )
+    assert kept == {r.url for r in manual.select("url").collect()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipeline.clean_pages(df, lm_model=lm)
