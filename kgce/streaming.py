@@ -231,6 +231,8 @@ def stream_triples_merge(
     ckpt: str,
     hygiene: dict | None = None,
     provenance_k: int | None = None,
+    lm_model=None,
+    max_ppl: float | None = None,
 ):
     """Incremental KG maintenance: each micro-batch of crawled pages
     runs the hybrid triple chain (Python tags, JVM pairs, partial-agg
@@ -252,16 +254,47 @@ def stream_triples_merge(
     ``provenance_k`` maintains bounded top-k (url, confidence) evidence
     per triple ACROSS increments (materialize._rollup_with_evidence —
     exact when k covers a key's distinct urls, honestly-bounded
-    otherwise; see its docstring)."""
+    otherwise; see its docstring).
+
+    ``lm_model`` + ``max_ppl`` run the CCNet-style perplexity gate
+    (operators.lmfilter) on each micro-batch INSIDE foreachBatch — the
+    gate needs a per-doc aggregation joined back to the pages, which
+    Structured Streaming forbids as a stream transformation in append
+    mode, but each micro-batch is a plain DataFrame there.  The model
+    is trained ONCE on a trusted corpus (static, never on the stream),
+    so the keep decision is row-local given the model and, like every
+    hygiene stage, a pure commuting filter — the composed stream still
+    equals the clean_pages-then-extract batch run (pinned in
+    test_streaming)."""
     from .operators import triples as triples_ops
     from .plans.materialize import merge_aggregated_triples
 
+    if lm_model is not None and max_ppl is None:
+        raise ValueError("stream_triples_merge: lm_model requires max_ppl")
     if hygiene is not None:
         pages_stream = hygiene_prefix(pages_stream, **hygiene)
 
     def _merge(batch_df, epoch_id):
         if batch_df.isEmpty():
             return
+        if lm_model is not None:
+            # same row key + materialize-before-fork discipline as the
+            # batch gate (pipeline.clean_pages stage 4a): the filter
+            # consumes its input from two subtrees, and a foreachBatch
+            # frame re-reads the micro-batch source per consumer.
+            from pyspark.sql import functions as F
+
+            from .operators.lmfilter import perplexity_filter
+            from .operators.linking import _checkpoint
+
+            keyed = _checkpoint(batch_df).withColumn(
+                "_rk", F.md5(F.concat_ws("\x00", F.col("url"), F.col("text")))
+            )
+            batch_df = perplexity_filter(
+                keyed, lm_model, max_ppl, id_col="_rk", text_col="text"
+            ).drop("_rk", "ppl")
+            if batch_df.isEmpty():
+                return
         if provenance_k is not None:
             trips = triples_ops.aggregate_triples_with_evidence(
                 triples_ops.score_pairs(

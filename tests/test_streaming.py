@@ -344,6 +344,79 @@ def test_stream_hygiene_prefix_composes_with_triples_merge(spark, tmp_path):
     assert len(got) < n_all
 
 
+def test_stream_lm_gate_composes_with_triples_merge(spark, tmp_path):
+    """The CCNet-style perplexity gate runs per micro-batch inside
+    foreachBatch (static trusted-corpus model, row-local keep decision),
+    composed AFTER the stateless hygiene prefix — the two-wave stream
+    equals clean_pages(lm_model, max_ppl)-then-extract over the union in
+    one batch, and the gate is non-vacuous (drops pages the hygiene
+    prefix kept)."""
+    from kgce import pipeline
+    from kgce.operators import triples as triples_ops
+    from kgce.operators.lmfilter import train_bigram_lm
+
+    in_dir = str(tmp_path / "lm_in")
+    out = str(tmp_path / "lm_edges")
+    ckpt = str(tmp_path / "lm_ckpt")
+    hyg = {"canonical_urls": True, "repetition": True}
+    # trusted corpus: disjoint seed — the model is never trained on the
+    # stream being cleaned (CCNet stance, pinned by construction here)
+    trusted = spark.createDataFrame(synth.gen_pages(40, seed=99), schema=schemas.PAGES)
+    lm = train_bigram_lm(trusted, id_col="url", text_col="text", vocab_size=64)
+    lm = type(lm)(lm.vocab.persist(), lm.contexts.persist(),
+                  lm.bigrams.persist(), lm.alpha, lm.v)
+    wave1 = synth.gen_pages(15, seed=83)
+    wave2 = synth.gen_pages(10, seed=84)
+    union_pages = spark.createDataFrame(wave1 + wave2, schema=schemas.PAGES)
+
+    # pick a cutoff at the union's median ppl so the gate provably
+    # drops some survivors and keeps others (non-vacuous both ways)
+    from kgce.operators.lmfilter import perplexity
+
+    ppls = sorted(
+        r.ppl
+        for r in perplexity(union_pages, lm, id_col="url", text_col="text").collect()
+        if r.ppl is not None
+    )
+    cutoff = float(ppls[len(ppls) // 2])
+
+    _write_pages(spark, in_dir, wave1)
+    q = streaming.stream_triples_merge(
+        streaming.stream_pages(spark, in_dir), out, ckpt,
+        hygiene=hyg, lm_model=lm, max_ppl=cutoff,
+    )
+    assert q.awaitTermination(300)
+    _write_pages(spark, in_dir, wave2)
+    q2 = streaming.stream_triples_merge(
+        streaming.stream_pages(spark, in_dir), out, ckpt,
+        hygiene=hyg, lm_model=lm, max_ppl=cutoff,
+    )
+    assert q2.awaitTermination(300)
+
+    cols = ["subj_text", "pred", "obj_text", "subj_type", "obj_type",
+            "n_evidence", "confidence"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    cleaned = pipeline.clean_pages(
+        union_pages,
+        canonical_urls=True,
+        exact_dedup=False,
+        repetition=True,
+        lm_model=lm,
+        max_ppl=cutoff,
+    )
+    want = sorted(map(tuple,
+                      triples_ops.extract_triples_hybrid(cleaned).select(*cols).collect()))
+    assert got == want and len(got) > 0
+    # the gate actually dropped something beyond the hygiene prefix
+    n_no_gate = triples_ops.extract_triples_hybrid(
+        pipeline.clean_pages(union_pages, canonical_urls=True,
+                             exact_dedup=False, repetition=True)
+    ).count()
+    assert len(got) < n_no_gate
+    for df in (lm.vocab, lm.contexts, lm.bigrams):
+        df.unpersist()
+
+
 def test_stream_triples_merge_with_provenance(spark, tmp_path):
     """Bounded evidence provenance maintained ACROSS streamed increments:
     with k covering every key's distinct urls the merge is EXACT vs one
