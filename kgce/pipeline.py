@@ -326,16 +326,104 @@ def eval_set_fingerprint(ev: DataFrame) -> list[int]:
     return [int(fp.n or 0), int(fp.h)]
 
 
+def structured_canonical(
+    pages: DataFrame,
+    canon_map: DataFrame,
+    provenance_k: int | None = None,
+    structured_cfg: dict | None = None,
+) -> DataFrame:
+    """Declared (schema.org JSON-LD) triples in the canonical-edges
+    schema, union-compatible with :func:`canonical_triples` output.
+
+    Subjects link through the SAME canonical map as text mentions (one
+    normalized-surface join), so "Ada Lovelace" declared in a page's
+    JSON-LD and "Ada Lovelace" tagged in prose resolve to one node.  A
+    declared subject the text pipeline never saw falls back to
+    ``xxhash64(norm)`` — exactly the key canonicalize assigns a
+    never-matched surface form, so ids stay stable if the entity later
+    appears in text.  Objects are literals: ``obj_id`` is NULL by
+    design, never a fabricated entity.
+
+    With ``provenance_k``, bounded evidence urls are kept per triple;
+    declared confidence is constant 1.0, so the text path's
+    (confidence desc, url asc) top-k rank reduces to url asc — same
+    ordering contract as triples.aggregate_triples_with_provenance.
+
+    Scale shape: one narrow scan of ``pages`` (operators.structured),
+    one partial-agg groupBy on the triple key, one unhinted join
+    against the canonical map (AQE broadcast when small — the same
+    regime as every canon join in this module).
+    """
+    from .operators import structured as structured_ops
+
+    st = structured_ops.extract_structured_triples(pages, **(structured_cfg or {}))
+    keys = ["subj_text", "pred", "obj_text", "subj_type"]
+    if provenance_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy("url")
+        agg = (
+            st.withColumn("_rk", F.row_number().over(w))
+            .groupBy(*keys)
+            .agg(
+                F.count("*").cast("long").alias("n_evidence"),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rk") <= provenance_k, F.col("url"))
+                    )
+                ).alias("evidence_urls"),
+            )
+            .select(
+                *keys,
+                F.lit("literal").alias("obj_type"),
+                "n_evidence",
+                F.lit(1.0).alias("confidence"),
+                "evidence_urls",
+            )
+        )
+    else:
+        agg = structured_ops.aggregate_structured_triples(st)
+    sn = linking.normalize_text(F.col("subj_text"))
+    subj = canon_map.withColumnRenamed("norm", "_sn").withColumnRenamed(
+        "canonical_id", "_cid"
+    )
+    out = (
+        agg.withColumn("_sn", sn)
+        .join(subj, "_sn", "left")
+        .withColumn("subj_id", F.coalesce(F.col("_cid"), F.xxhash64("_sn")))
+        .withColumn("obj_id", F.lit(None).cast("long"))
+        .drop("_sn", "_cid")
+    )
+    cols = [
+        "subj_id",
+        "pred",
+        "obj_id",
+        "subj_text",
+        "obj_text",
+        "confidence",
+        "n_evidence",
+        "subj_type",
+        "obj_type",
+    ]
+    if provenance_k is not None:
+        cols.append("evidence_urls")
+    return out.select(*cols)
+
+
 def run(
     pages: DataFrame,
     link_threshold: float = 0.6,
     clean: dict | None = None,
     provenance_k: int | None = None,
+    structured: bool = False,
 ) -> dict[str, DataFrame]:
     """Uncheckpointed single-job run (tests, small corpora).  ``clean``
     (kwargs for :func:`clean_pages`) enables the hygiene pre-pass;
     ``provenance_k`` carries a bounded top-k ``evidence_urls`` column
-    through triples into the edges table."""
+    through triples into the edges table; ``structured`` unions the
+    declared JSON-LD triples (:func:`structured_canonical`) into the
+    edge set — extracted from the CLEANED pages, so hygiene-dropped
+    spam never asserts declared facts."""
     if clean is not None:
         pages = clean_pages(pages, **clean)
     # mentions feed THREE consumers (triple chain, linking vocabulary,
@@ -348,6 +436,12 @@ def run(
     trips = canonical_triples(
         mentions, threshold=link_threshold, canon=canon, provenance_k=provenance_k
     )
+    if structured:
+        trips = trips.unionByName(
+            structured_canonical(
+                pages, canon.select("norm", "canonical_id"), provenance_k
+            )
+        )
     return {
         "mentions": mentions,
         "triples": trips,
@@ -365,6 +459,7 @@ def run_checkpointed(
     n_salt: int = 16,
     clean: dict | None = None,
     provenance_k: int | None = None,
+    structured: bool = False,
 ) -> dict[str, DataFrame]:
     """Resumable run: mention extraction and triple aggregation land under
     ``work_dir`` with per-bucket manifests (kill/re-run safe).
@@ -442,6 +537,13 @@ def run_checkpointed(
         )
         .drop("_sn", "_on")
     )
+    if structured:
+        # declared JSON-LD triples from the (checkpointed, cleaned)
+        # pages — a narrow scan, so a crash mid-union re-reads the
+        # cached clean_pages parquet, never the raw corpus
+        trips = trips.unionByName(
+            structured_canonical(pages, canon_map, provenance_k)
+        )
     nodes = materialize.build_nodes(canon, mentions)
     edges = materialize.build_edges(trips)
     materialize.write_nodes(nodes, work_dir)

@@ -437,3 +437,79 @@ def test_clean_pages_lm_gate_composes(spark):
 
     with pytest.raises(ValueError):
         pipeline.clean_pages(df, lm_model=lm)
+
+
+def test_pipeline_structured_triples_union(spark):
+    """JSON-LD declared triples union into the edge set: a declared
+    subject that also appears in prose resolves to the SAME canonical
+    id (one node), objects stay literals (obj_id NULL), and a declared
+    subject the text never mentions gets the stable xxhash64(norm)
+    fallback key canonicalize would assign it."""
+    from datetime import datetime
+
+    def page(url, text, ld=None):
+        html = "<html><body>" + text
+        if ld:
+            html += f'<script type="application/ld+json">{ld}</script>'
+        html += "</body></html>"
+        return {"url": url, "warc_ts": datetime(2024, 1, 1),
+                "html": html.encode("utf-8"), "text": text, "lang": "en"}
+
+    rows = [
+        page("http://s.example/1",
+             "Ada visited Berlin. Ada met Turing.",
+             '{"@type": "Person", "name": "Ada", "jobTitle": "Countess",'
+             ' "worksFor": {"name": "Analytical"}}'),
+        page("http://s.example/2", "Berlin hosts Turing."),
+        # declared-only entity: never tagged in any prose
+        page("http://s.example/3", "no capitals here at all.",
+             '{"@type": "Organization", "name": "Initech", "url": "http://i.example"}'),
+    ]
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    out = pipeline.run(pages, structured=True)
+    trips = out["triples"].collect()
+    declared = [r for r in trips if r.pred.startswith("sdo:")]
+    textual = [r for r in trips if not r.pred.startswith("sdo:")]
+    assert textual and declared
+    # schema identical across the union
+    assert {tuple(sorted(r.asDict())) for r in declared} == {
+        tuple(sorted(r.asDict())) for r in textual
+    }
+    # entity unification: declared "Ada" and tagged "Ada" share one id
+    ada_decl = {r.subj_id for r in declared if r.subj_text == "Ada"}
+    ada_text = {r.subj_id for r in textual if r.subj_text == "Ada"}
+    assert len(ada_decl) == 1 and ada_decl == ada_text
+    # literals never fabricate entities
+    assert all(r.obj_id is None for r in declared)
+    # declared-only subject: stable vocabulary-key fallback
+    from kgce.operators.linking import normalize_text
+
+    initech = [r for r in declared if r.subj_text == "Initech"]
+    want_key = spark.createDataFrame([("Initech",)], "t string").select(
+        F.xxhash64(normalize_text(F.col("t")))
+    ).first()[0]
+    assert initech and all(r.subj_id == want_key for r in initech)
+
+
+def test_pipeline_structured_provenance_bounded(spark):
+    """structured=True + provenance_k: declared triples carry bounded
+    url-ascending evidence (constant confidence reduces the text path's
+    rank to url asc), and n_evidence still counts ALL asserting pages."""
+    from datetime import datetime
+
+    ld = '{"@type": "Organization", "name": "Acme", "brand": "Anvils"}'
+    rows = []
+    for i in range(5):
+        html = ("<html><body>Acme Anvils." +
+                f'<script type="application/ld+json">{ld}</script></body></html>')
+        rows.append({"url": f"http://p{i}.example/x",
+                     "warc_ts": datetime(2024, 1, 1),
+                     "html": html.encode("utf-8"),
+                     "text": "Acme ships anvils.", "lang": "en"})
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    out = pipeline.run(pages, provenance_k=2, structured=True)
+    brand = [r for r in out["triples"].collect()
+             if r.pred == "sdo:brand" and r.subj_text == "Acme"]
+    assert len(brand) == 1
+    assert brand[0].n_evidence == 5
+    assert brand[0].evidence_urls == ["http://p0.example/x", "http://p1.example/x"]
