@@ -303,7 +303,194 @@ def q_event_transitions(spark, sf):
     )
 
 
+def _jsonld_pages(spark, sf):
+    """documents -> (url, html): a deterministic crawl whose pages carry
+    schema.org JSON-LD islands, synthesized by COLUMN ARITHMETIC so the
+    DuckDB oracle rebuilds the identical corpus (same stance as
+    _linked_pages).  Exercises every extractor branch: plain object,
+    top-level array (d%4==2), @graph (d%4==3), nested-object predicate
+    (worksFor, d%2==0), string-array predicate (sameAs), numeric leaf
+    (telephone), @id-keyed entity without a name, and an INVALID second
+    island (d%5==0) that must drop silently on both engines."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+
+    def _s(e):
+        return e.cast("string")
+
+    url = F.concat(F.lit("http://sd"), _s(d % 40), F.lit(".example/d"), _s(d))
+    base = F.concat(
+        F.lit('{"@type": "'),
+        F.when(d % 3 == 0, F.lit("Person"))
+        .when(d % 3 == 1, F.lit("Organization"))
+        .otherwise(F.lit("Product")),
+        F.lit('", "name": "Entity '),
+        _s(d % 23),
+        F.lit('", "jobTitle": "Role '),
+        _s(d % 5),
+        F.lit('"'),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(', "worksFor": {"name": "Org '), _s(d % 7), F.lit('"}')),
+        ).otherwise(F.lit("")),
+        F.lit(', "sameAs": ["http://sa'),
+        _s(d % 11),
+        F.lit('.example/e"]}'),
+    )
+    block = (
+        F.when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("["),
+                base,
+                F.lit(', {"name": "Second '),
+                _s(d % 13),
+                F.lit('", "email": "e'),
+                _s(d % 9),
+                F.lit('@x.example"}]'),
+            ),
+        )
+        .when(
+            d % 4 == 3,
+            F.concat(
+                F.lit('{"@graph": ['),
+                base,
+                F.lit(', {"@id": "http://id'),
+                _s(d % 17),
+                F.lit('.example", "@type": "Organization", "telephone": '),
+                _s((d % 997) + 100),
+                F.lit("}]}"),
+            ),
+        )
+        .otherwise(base)
+    )
+    html = F.concat(
+        F.lit('<p>intro</p><script type="application/ld+json">'),
+        block,
+        F.lit("</script>"),
+        F.when(
+            d % 5 == 0,
+            F.lit('<script type="application/ld+json">{"name": broken</script>'),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def _structured_triples_oracle_sql() -> str:
+    """DuckDB twin of q_structured_triples: rebuild the identical
+    JSON-LD corpus by column arithmetic, then mirror the extractor's
+    cross-engine contract (operators/structured.py module docstring) —
+    same regexp island split, json_valid prefilter (Spark nulls invalid
+    JSON silently), same literal paths, same bounded item expansion,
+    same scalar-leaf ({/[ prefix) drop — and the same triple-key
+    aggregate."""
+    from kgce.operators.structured import DEFAULT_PREDICATES
+
+    re_sql = (
+        "(?is)<script[^>]*type\\s*=\\s*[\"'']application/ld\\+json[\"'']"
+        "[^>]*>(.*?)</script>"
+    )
+    idx = ", ".join(f"json_extract_string(base, '$[{i}]')" for i in range(8))
+    preds = ", ".join(
+        f"struct_pack(pred := 'sdo:{p}', obj := coalesce("
+        f"json_extract_string(item, '$.{p}.name'), "
+        f"json_extract_string(item, '$.{p}[0].name'), "
+        f"json_extract_string(item, '$.{p}[0]'), "
+        f"json_extract_string(item, '$.{p}')))"
+        for p in DEFAULT_PREDICATES
+    )
+    return f"""
+    WITH base_obj AS (
+      SELECT doc_id,
+        '{{"@type": "' ||
+        CASE WHEN doc_id % 3 = 0 THEN 'Person'
+             WHEN doc_id % 3 = 1 THEN 'Organization'
+             ELSE 'Product' END ||
+        '", "name": "Entity ' || (doc_id % 23)::VARCHAR ||
+        '", "jobTitle": "Role ' || (doc_id % 5)::VARCHAR || '"' ||
+        CASE WHEN doc_id % 2 = 0
+             THEN ', "worksFor": {{"name": "Org ' || (doc_id % 7)::VARCHAR || '"}}'
+             ELSE '' END ||
+        ', "sameAs": ["http://sa' || (doc_id % 11)::VARCHAR || '.example/e"]}}'
+        AS base_json
+      FROM documents
+    ), pages AS (
+      SELECT 'http://sd' || (doc_id % 40)::VARCHAR || '.example/d'
+               || doc_id::VARCHAR AS url,
+        '<p>intro</p><script type="application/ld+json">' ||
+        CASE WHEN doc_id % 4 = 2
+             THEN '[' || base_json || ', {{"name": "Second '
+                  || (doc_id % 13)::VARCHAR || '", "email": "e'
+                  || (doc_id % 9)::VARCHAR || '@x.example"}}]'
+             WHEN doc_id % 4 = 3
+             THEN '{{"@graph": [' || base_json || ', {{"@id": "http://id'
+                  || (doc_id % 17)::VARCHAR
+                  || '.example", "@type": "Organization", "telephone": '
+                  || ((doc_id % 997) + 100)::VARCHAR || '}}]}}'
+             ELSE base_json END ||
+        '</script>' ||
+        CASE WHEN doc_id % 5 = 0
+             THEN '<script type="application/ld+json">{{"name": broken</script>'
+             ELSE '' END AS html
+      FROM base_obj
+    ), blocks AS (
+      SELECT url, trim(b) AS block
+      FROM pages, unnest(regexp_extract_all(html, '{re_sql}', 1)) AS t(b)
+    ), valid AS (
+      SELECT * FROM blocks WHERE json_valid(block)
+    ), based AS (
+      SELECT url,
+        CASE WHEN json_extract_string(block, '$."@graph"') IS NOT NULL
+             THEN trim(json_extract_string(block, '$."@graph"'))
+             ELSE block END AS base
+      FROM valid
+    ), its AS (
+      SELECT url,
+        CASE WHEN starts_with(base, '[') THEN [{idx}] ELSE [base] END AS arr
+      FROM based
+    ), it AS (
+      SELECT url, i AS item FROM its, unnest(arr) AS t(i) WHERE i IS NOT NULL
+    ), subjects AS (
+      SELECT url, item,
+        coalesce(json_extract_string(item, '$.name'),
+                 json_extract_string(item, '$."@id"')) AS subj_text,
+        lower(coalesce(json_extract_string(item, '$."@type"'), 'thing'))
+          AS subj_type
+      FROM it
+    ), po AS (
+      SELECT url, subj_text, subj_type, p.pred AS pred, p.obj AS obj_text
+      FROM subjects, unnest([{preds}]) AS u(p)
+    )
+    SELECT subj_text, pred, obj_text, subj_type,
+           'literal' AS obj_type, count(*) AS n_evidence,
+           CAST(1.0 AS DOUBLE) AS confidence
+    FROM po
+    WHERE subj_text IS NOT NULL AND obj_text IS NOT NULL
+      AND NOT starts_with(subj_text, '{{') AND NOT starts_with(subj_text, '[')
+      AND NOT starts_with(obj_text, '{{') AND NOT starts_with(obj_text, '[')
+    GROUP BY subj_text, pred, obj_text, subj_type
+    """
+
+
+def q_structured_triples(spark, sf):
+    """Declared-knowledge extraction (operators.structured): JSON-LD
+    islands -> bounded @graph/array expansion -> scalar leaves ->
+    triple-key aggregate, all-JVM narrow until the one partial-agg
+    groupBy.  Replaces the retired `overlap_pairs` entry under the
+    50-query driver cap — J5's interval theta-join semantics stay
+    graded by `relax_eval` (the same |a-b|<=bound overlap join on the
+    eval tables), while this grades a whole new operator family."""
+    from kgce.operators import structured as structured_ops
+
+    return structured_ops.aggregate_structured_triples(
+        structured_ops.extract_structured_triples(_jsonld_pages(spark, sf))
+    )
+
+
 def q_overlap_pairs(spark, sf):
+    """RETIRED from queries() (50-entry driver cap; see
+    q_structured_triples) — kept callable because tests/bench may still
+    exercise the interval theta-join form directly."""
     e = _t(spark, sf, "events").select("user_id", "event_id", "ts")
     a = e.select("user_id", F.col("event_id").alias("ea"), F.col("ts").alias("ta"))
     b = e.select("user_id", F.col("event_id").alias("eb"), F.col("ts").alias("tb"))
@@ -1014,7 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_order_per_customer": q_top_order_per_customer,
         "user_sessions": q_user_sessions,
         "event_transitions": q_event_transitions,
-        "overlap_pairs": q_overlap_pairs,
+        "structured_triples": q_structured_triples,
         "union_dedup": q_union_dedup,
         "running_order_total": q_running_order_total,
         # training-data pipeline ops
@@ -1812,13 +1999,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) GROUP BY user_id
         """,
-        "overlap_pairs": """
-            SELECT a.user_id, count(*) AS n_close_pairs
-            FROM events a JOIN events b
-              ON a.user_id = b.user_id AND a.event_id < b.event_id
-             AND abs(date_diff('second', b.ts, a.ts)) <= 300
-            GROUP BY a.user_id
-        """,
+        "structured_triples": _structured_triples_oracle_sql(),
         "union_dedup": """
             SELECT nationkey, count(*) AS n_parties FROM (
               SELECT DISTINCT * FROM (

@@ -56,6 +56,7 @@ HEADLINE = [
 # LSH-blocked form already benched via near_dup_groups.
 EXTENDED = [
     "pipeline_full_prov",
+    "structured_triples",
     "link_pagerank",
     "recrawl_maintain",
     "strip_repeated_ngrams",

@@ -82,11 +82,18 @@ def jsonld_blocks(
         F.col(html_col).cast("string"), F.lit(_BLOCK_RE), F.lit(1)
     )
     # build the (url, blocks-array) projection FIRST so the fat html
-    # column never enters the generator
+    # column never enters the generator.  posexplode_OUTER: the inner
+    # form makes Catalyst synthesize a `size(_blocks) > 0` guard and
+    # push it below any upstream exchange — re-running the whole html
+    # regexp once per row on the PRE-repartition split (the filter-
+    # pushdown re-substitution trap, CLAUDE.md).  Outer generation
+    # emits a null block for block-less pages instead; the downstream
+    # null-subject filter drops them with no extra scan work.
     slim = pages.select(F.col(url_col).alias("url"), blocks.alias("_blocks"))
-    return slim.select(
-        "url", F.posexplode("_blocks").alias("block_idx", "block")
-    ).withColumn("block", F.trim("block"))
+    return (
+        slim.select("url", F.posexplode_outer("_blocks").alias("block_idx", "block"))
+        .withColumn("block", F.trim("block"))
+    )
 
 
 def _gjo(col: Column, path: str) -> Column:
@@ -121,13 +128,20 @@ def jsonld_triples(
     """
     b = F.col("block")
     graph = _gjo(b, "$['@graph']")
-    base = F.when(graph.isNotNull(), F.trim(graph)).otherwise(b)
+    # pre-project the @graph-or-block base into a real column: generator
+    # arguments are not alias-substituted (unlike pushed filters), so
+    # this computes the @graph extraction ONCE per row instead of once
+    # per expanded index
+    based = blocks.withColumn(
+        "_base", F.when(graph.isNotNull(), F.trim(graph)).otherwise(b)
+    )
+    base = F.col("_base")
     items = F.when(
         base.startswith("["),
         F.array(*[_gjo(base, f"$[{i}]") for i in range(max_items)]),
     ).otherwise(F.array(base))
     it = (
-        blocks.select("url", "block_idx", F.posexplode(items).alias("item_idx", "item"))
+        based.select("url", "block_idx", F.posexplode(items).alias("item_idx", "item"))
         .filter(F.col("item").isNotNull())
     )
     item = F.col("item")
