@@ -192,6 +192,45 @@ def extract_structured_triples(
     )
 
 
+def aggregate_structured_triples_with_evidence(st: DataFrame, k: int) -> DataFrame:
+    """:func:`aggregate_structured_triples` + bounded top-``k``
+    ``evidence`` (url, confidence) structs — the schema the streaming
+    merge's provenance rollup consumes
+    (plans.materialize._rollup_with_evidence).  Declared confidence is
+    constant 1.0, so the text path's (confidence desc, url asc) rank
+    reduces to url asc; ``array_sort`` over the structs sorts by url
+    first, preserving that contract."""
+    from pyspark.sql import Window
+
+    keys = ["subj_text", "pred", "obj_text", "subj_type"]
+    w = Window.partitionBy(*keys).orderBy("url")
+    return (
+        st.withColumn("_rk", F.row_number().over(w))
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_evidence"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_rk") <= k,
+                        F.struct(
+                            F.col("url").alias("url"),
+                            F.lit(1.0).alias("confidence"),
+                        ),
+                    )
+                )
+            ).alias("evidence"),
+        )
+        .select(
+            *keys,
+            F.lit("literal").alias("obj_type"),
+            "n_evidence",
+            F.lit(1.0).alias("confidence"),
+            "evidence",
+        )
+    )
+
+
 def aggregate_structured_triples(st: DataFrame) -> DataFrame:
     """Per-page declared triples -> the edges-source aggregate schema
     (subj_text, pred, obj_text, subj_type, obj_type, n_evidence,

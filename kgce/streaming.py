@@ -233,6 +233,7 @@ def stream_triples_merge(
     provenance_k: int | None = None,
     lm_model=None,
     max_ppl: float | None = None,
+    structured: bool = False,
 ):
     """Incremental KG maintenance: each micro-batch of crawled pages
     runs the hybrid triple chain (Python tags, JVM pairs, partial-agg
@@ -265,7 +266,16 @@ def stream_triples_merge(
     so the keep decision is row-local given the model and, like every
     hygiene stage, a pure commuting filter — the composed stream still
     equals the clean_pages-then-extract batch run (pinned in
-    test_streaming)."""
+    test_streaming).
+
+    ``structured`` unions the declared JSON-LD triples
+    (operators.structured) into each micro-batch's aggregate before
+    the merge — extracted AFTER the hygiene/LM gates, matching the
+    batch pipeline's extract-from-cleaned-pages stance.  Triple keys
+    are disjoint from the text path's (``sdo:`` preds, literal
+    objects), and the per-batch aggregate is the same associative
+    sum/max (+ bounded url-asc evidence under ``provenance_k``), so
+    stream == batch still holds."""
     from .operators import triples as triples_ops
     from .plans.materialize import merge_aggregated_triples
 
@@ -306,6 +316,17 @@ def stream_triples_merge(
             )
         else:
             trips = triples_ops.extract_triples_hybrid(batch_df)
+        if structured:
+            from .operators import structured as structured_ops
+
+            st = structured_ops.extract_structured_triples(batch_df)
+            if provenance_k is not None:
+                st_agg = structured_ops.aggregate_structured_triples_with_evidence(
+                    st, k=provenance_k
+                )
+            else:
+                st_agg = structured_ops.aggregate_structured_triples(st)
+            trips = trips.unionByName(st_agg.select(*trips.columns))
         merge_aggregated_triples(
             trips, out_path, epoch_id=epoch_id, provenance_k=provenance_k
         )

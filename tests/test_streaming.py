@@ -417,6 +417,85 @@ def test_stream_lm_gate_composes_with_triples_merge(spark, tmp_path):
         df.unpersist()
 
 
+def test_stream_structured_triples_merge(spark, tmp_path):
+    """Declared JSON-LD triples union into the streamed KG merge: the
+    two-wave stream equals one batch run (text extract + structured
+    aggregate over the union), including exact bounded evidence when k
+    covers every key's distinct urls.  sdo: keys are disjoint from the
+    text path's, so neither contaminates the other's aggregates."""
+    from kgce import tagging
+    from kgce.operators import structured as structured_ops
+    from kgce.operators import triples as triples_ops
+
+    ld = '{"@type": "Person", "name": "Ada", "jobTitle": "Countess"}'
+
+    def with_ld(pages, every=3):
+        out = []
+        for i, p in enumerate(pages):
+            p = dict(p)
+            if i % every == 0:
+                p["html"] = (
+                    b"<html><body>"
+                    + f'<script type="application/ld+json">{ld}</script>'.encode()
+                    + p["text"].encode()
+                    + b"</body></html>"
+                )
+            out.append(p)
+        return out
+
+    wave1 = with_ld(synth.gen_pages(12, seed=85))
+    wave2 = with_ld(synth.gen_pages(8, seed=86))
+    for p in wave2:  # recrawl waves are url-disjoint here: the batch
+        # twin ranks evidence by row, the stream merge per url — equal
+        # only when each url asserts once (re-crawl updates are the
+        # delta operator's job, not the append-only stream's)
+        p["url"] = p["url"].replace("/page/", "/w2/page/")
+    union_pages = spark.createDataFrame(wave1 + wave2, schema=schemas.PAGES)
+
+    in_dir = str(tmp_path / "sd_in")
+    out = str(tmp_path / "sd_edges")
+    ckpt = str(tmp_path / "sd_ckpt")
+    k = 100  # covers every key's distinct urls -> merge is EXACT
+    _write_pages(spark, in_dir, wave1)
+    q = streaming.stream_triples_merge(
+        streaming.stream_pages(spark, in_dir), out, ckpt,
+        provenance_k=k, structured=True,
+    )
+    assert q.awaitTermination(300)
+    _write_pages(spark, in_dir, wave2)
+    q2 = streaming.stream_triples_merge(
+        streaming.stream_pages(spark, in_dir), out, ckpt,
+        provenance_k=k, structured=True,
+    )
+    assert q2.awaitTermination(300)
+
+    def norm(rows):
+        return sorted(
+            (r.subj_text, r.pred, r.obj_text, r.subj_type, r.obj_type,
+             r.n_evidence, r.confidence,
+             tuple((e.url, e.confidence) for e in r.evidence))
+            for r in rows
+        )
+
+    got = norm(spark.read.parquet(out).collect())
+    text = triples_ops.aggregate_triples_with_evidence(
+        triples_ops.score_pairs(
+            triples_ops.pairs_from_sentence_mentions(
+                tagging.extract_sentence_mentions(union_pages)
+            )
+        ),
+        k=k,
+    )
+    st = structured_ops.aggregate_structured_triples_with_evidence(
+        structured_ops.extract_structured_triples(union_pages), k=k
+    )
+    want = norm(text.unionByName(st.select(*text.columns)).collect())
+    assert got == want and len(got) > 0
+    # declared rows actually present, asserted by every LD page
+    sdo = [g for g in got if g[1] == "sdo:jobTitle"]
+    assert len(sdo) == 1 and sdo[0][5] == 7  # 4 LD pages in wave1 + 3 in wave2
+
+
 def test_stream_triples_merge_with_provenance(spark, tmp_path):
     """Bounded evidence provenance maintained ACROSS streamed increments:
     with k covering every key's distinct urls the merge is EXACT vs one
