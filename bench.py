@@ -91,22 +91,36 @@ def _materialize(df) -> int:
     return row.n
 
 
+def _time_query(qs, spark, name, sf_dir, runs):
+    """min-of-runs + the full per-run list and the load at start AND
+    end — a neighbor burst mid-query is adjudicable after the fact
+    (launch-only load missed the burst that inflated r5's extended set
+    5-30x while standalone re-runs at low load reproduced r4 numbers)."""
+    per_run = []
+    l0 = round(os.getloadavg()[0], 2)
+    n = 0
+    for _ in range(runs):
+        t0 = time.monotonic()
+        n = _materialize(qs[name](spark, sf_dir))
+        per_run.append(round(time.monotonic() - t0, 3))
+    l1 = round(os.getloadavg()[0], 2)
+    return min(per_run), per_run, (l0, l1), n
+
+
 def _run_set(spark, qs, sf_dir: str, runs: int):
     """Time each headline query (min-of-``runs``) at one scale factor."""
     timings: dict[str, float] = {}
-    loads: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
+    all_runs: dict[str, list[float]] = {}
     n_triples = 0
     for name in HEADLINE:
-        best = float("inf")
-        loads[name] = round(os.getloadavg()[0], 2)
-        for _ in range(runs):
-            t0 = time.monotonic()
-            n = _materialize(qs[name](spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
+        best, per_run, (l0, l1), n = _time_query(qs, spark, name, sf_dir, runs)
         timings[name] = round(best, 3)
+        loads[name] = [l0, l1]
+        all_runs[name] = per_run
         if name == "pipeline_triples_hybrid":
             n_triples = n
-    return timings, loads, n_triples
+    return timings, loads, all_runs, n_triples
 
 
 def _sf_of(sf_dir: str):
@@ -162,7 +176,7 @@ def main() -> None:
         _noop, "id long"
     ).count()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings, loads, n_triples = _run_set(spark, qs, sf_dir, runs)
+    timings, loads, all_runs, n_triples = _run_set(spark, qs, sf_dir, runs)
 
     out = {
         "metric": "headline_total",
@@ -171,6 +185,7 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "load1": loads,
+        "runs": all_runs,
         "derived": {
             "triples": n_triples,
             "triples_per_sec": round(n_triples / timings["pipeline_triples_hybrid"], 1)
@@ -183,21 +198,20 @@ def main() -> None:
     # timing on this shared host can measure a neighbor's burst — the
     # triangle_stats 5.03 s "regression" at load 12 was exactly that
     ext: dict[str, float] = {}
-    ext_loads: dict[str, float] = {}
+    ext_loads: dict[str, list[float]] = {}
+    ext_runs: dict[str, list[float]] = {}
     for name in EXTENDED:
         if name not in qs:
             continue
-        ext_loads[name] = round(os.getloadavg()[0], 2)
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.monotonic()
-            _materialize(qs[name](spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
+        best, per_run, (l0, l1), _n = _time_query(qs, spark, name, sf_dir, runs)
         ext[name] = round(best, 3)
+        ext_loads[name] = [l0, l1]
+        ext_runs[name] = per_run
     out["extended"] = {
         "total": round(sum(ext.values()), 3),
         "queries": ext,
         "load1": ext_loads,
+        "runs": ext_runs,
     }
     if (
         sf2_dir
@@ -205,12 +219,13 @@ def main() -> None:
         and os.path.isdir(sf2_dir)
         and os.path.realpath(sf2_dir) != os.path.realpath(sf_dir)
     ):
-        t2, l2, _ = _run_set(spark, qs, sf2_dir, runs)
+        t2, l2, r2, _ = _run_set(spark, qs, sf2_dir, runs)
         out["secondary"] = {
             "sf": _sf_of(sf2_dir),
             "total": round(sum(t2.values()), 3),
             "queries": t2,
             "load1": l2,
+            "runs": r2,
         }
     print(json.dumps(out))
 

@@ -92,3 +92,47 @@ def asof_join(
         *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
     )
     return out
+
+
+def assertion_intervals(
+    triples_by_snapshot: DataFrame,
+    key_cols: list[str] | None = None,
+    snap_col: str = "snap_id",
+) -> DataFrame:
+    """Temporal KG: per-triple validity intervals across crawl snapshots.
+
+    A triple is ASSERTED in snapshot ``s`` when at least one page
+    contributes it there; maximal runs of consecutive snapshots merge
+    into one interval (gaps-and-islands), so the output is
+    (key..., valid_from, valid_to, n_snapshots) with one row per
+    assertion EPISODE — a fact that disappeared and came back gets two
+    rows, which is exactly the signal a temporal KG wants (retracted vs
+    re-asserted), not a min/max smear across the gap.
+
+    Scale shape: one distinct-style partial agg on (key, snap) collapses
+    page-level multiplicity BEFORE the window (the only corpus-sized
+    shuffle, count-only buffers), then the island window and the episode
+    groupBy both run per triple key over at most |snapshots| rows — the
+    window frame is bounded by the crawl count (tens), never by corpus
+    size.  The island id is ``snap - dense_rank`` arithmetic, no
+    per-row Python, no self-join.
+    """
+    key_cols = key_cols or ["subj_text", "pred", "obj_text"]
+    snaps = (
+        triples_by_snapshot.groupBy(*key_cols, snap_col)
+        .agg(F.count("*").cast("long").alias("n_pages"))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(snap_col)
+    islands = snaps.withColumn(
+        "_island", F.col(snap_col) - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(*key_cols, "_island")
+        .agg(
+            F.min(snap_col).alias("valid_from"),
+            F.max(snap_col).alias("valid_to"),
+            F.count("*").cast("long").alias("n_snapshots"),
+            F.sum("n_pages").alias("n_page_assertions"),
+        )
+        .drop("_island")
+    )

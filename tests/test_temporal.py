@@ -58,3 +58,82 @@ def test_asof_matches_brute_force(spark):
         cands = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, lid
+
+
+def test_assertion_intervals_gaps_and_islands(spark):
+    """Episodes split at snapshot gaps; page multiplicity within one
+    snapshot collapses; disjoint keys never merge.  Pinned against a
+    pure-Python interval oracle and a DuckDB gaps-and-islands twin."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from kgce.operators.temporal import assertion_intervals
+
+    rows = [
+        # (subj, pred, obj, snap): A asserted in 1,2,3 then gap, back in 6
+        ("A", "r", "B", 1), ("A", "r", "B", 2), ("A", "r", "B", 3),
+        ("A", "r", "B", 6),
+        # same snapshot asserted by THREE pages -> one episode row, n_pages 3
+        ("C", "r", "D", 4), ("C", "r", "D", 4), ("C", "r", "D", 4),
+        # single-snapshot episode
+        ("E", "r", "F", 9),
+        # different object = different key, overlapping snaps don't merge
+        ("A", "r", "X", 2), ("A", "r", "X", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj_text string, pred string, obj_text string, snap_id int"
+    )
+    got = sorted(
+        (r.subj_text, r.pred, r.obj_text, r.valid_from, r.valid_to,
+         r.n_snapshots, r.n_page_assertions)
+        for r in assertion_intervals(df).collect()
+    )
+
+    # pure-Python oracle
+    by_key = defaultdict(lambda: defaultdict(int))
+    for s, p, o, snap in rows:
+        by_key[(s, p, o)][snap] += 1
+    want = []
+    for key, snaps in by_key.items():
+        run = []
+        for snap in sorted(snaps) + [None]:
+            if run and (snap is None or snap != run[-1] + 1):
+                want.append(
+                    (*key, run[0], run[-1], len(run),
+                     sum(snaps[x] for x in run))
+                )
+                run = []
+            if snap is not None:
+                run.append(snap)
+    assert got == sorted(want)
+    assert ("A", "r", "B", 1, 3, 3, 3) in got and ("A", "r", "B", 6, 6, 1, 1) in got
+    assert ("C", "r", "D", 4, 4, 1, 3) in got
+
+    # DuckDB twin of the same gaps-and-islands plan
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (subj_text VARCHAR, pred VARCHAR, obj_text VARCHAR, snap_id INT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    duck = sorted(
+        tuple(r)
+        for r in con.execute("""
+            WITH snaps AS (
+              SELECT subj_text, pred, obj_text, snap_id,
+                     count(*) AS n_pages
+              FROM t GROUP BY ALL
+            ), isl AS (
+              SELECT *, snap_id - row_number() OVER (
+                  PARTITION BY subj_text, pred, obj_text ORDER BY snap_id
+                ) AS island
+              FROM snaps
+            )
+            SELECT subj_text, pred, obj_text,
+                   min(snap_id) AS valid_from, max(snap_id) AS valid_to,
+                   CAST(count(*) AS BIGINT) AS n_snapshots,
+                   CAST(sum(n_pages) AS BIGINT) AS n_page_assertions
+            FROM isl GROUP BY subj_text, pred, obj_text, island
+        """).fetchall()
+    )
+    assert got == duck
