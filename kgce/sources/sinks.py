@@ -205,3 +205,51 @@ def merge_brat_outputs(*mention_dfs: DataFrame) -> DataFrame:
     for df in mention_dfs[1:]:
         out = out.unionByName(df)
     return out.dropDuplicates(["url", "type", "start", "end"])
+
+
+# --- N-Triples export (KG interchange) -------------------------------------
+#
+# The graph a downstream consumer loads into a triplestore: one
+# `<s> <p> <o> .` line per edge, W3C N-Triples escaping.  Beyond-reference
+# interchange tooling (the reference stops at brat/BioC); scale shape is a
+# pure narrow projection -> text sink, no shuffle.
+
+_NT_BASE = "http://kg.local/"
+
+
+def _nt_escape(col) -> "F.Column":
+    """W3C N-Triples literal escaping: backslash FIRST, then quote and
+    the control characters (\\n, \\r, \\t) — the same order any
+    serializer uses so unescaping is unambiguous."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", "\\\\n")
+    out = F.regexp_replace(out, "\r", "\\\\r")
+    return F.regexp_replace(out, "\t", "\\\\t")
+
+
+def ntriples_lines(edges: DataFrame, base_iri: str = _NT_BASE) -> DataFrame:
+    """Edges-table rows -> one N-Triples line per edge: (line string).
+
+    Subjects always have a canonical id (`<base>entity/<id>`); objects
+    are entity IRIs when linked (``obj_id`` non-null) and escaped plain
+    literals otherwise (the declared-knowledge rows, whose objects are
+    literals by design).  Predicates become `<base>pred/<pred>` —
+    ``rel:``/``sdo:`` prefixes are legal IRI path characters, no
+    re-encoding needed.  Narrow projection only; write order carries no
+    meaning in N-Triples, so the sink needs no sort.
+    """
+    subj = F.concat(F.lit(f"<{base_iri}entity/"), F.col("subj_id").cast("string"), F.lit(">"))
+    pred = F.concat(F.lit(f"<{base_iri}pred/"), F.col("pred"), F.lit(">"))
+    obj = F.when(
+        F.col("obj_id").isNotNull(),
+        F.concat(F.lit(f"<{base_iri}entity/"), F.col("obj_id").cast("string"), F.lit(">")),
+    ).otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj_text")), F.lit('"')))
+    return edges.select(
+        F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("line")
+    )
+
+
+def write_ntriples(edges: DataFrame, out_dir: str, base_iri: str = _NT_BASE) -> None:
+    """Materialize the edges table as N-Triples text part-files."""
+    ntriples_lines(edges, base_iri).write.mode("overwrite").text(out_dir)

@@ -124,3 +124,50 @@ def test_biaffine_json_roundtrip(spark, tmp_path):
     a = sorted((tuple(r.tokens), tuple(map(tuple, r.entities or []))) for r in src.collect())
     b = sorted((tuple(r.tokens), tuple(map(tuple, r.entities or []))) for r in back.collect())
     assert a == b
+
+
+def test_ntriples_sink_escaping_and_roundtrip(spark, tmp_path):
+    """N-Triples export: linked objects become entity IRIs, literal
+    objects escape per W3C N-Triples (backslash first), and a pure-
+    Python unescape round-trips every line."""
+    from kgce.sources.sinks import ntriples_lines, write_ntriples
+
+    edges = spark.createDataFrame(
+        [
+            (1, "rel:per_loc", 2, "Ada", "Berlin", 0.9, 3),
+            # literal object with every escapable character
+            (1, "sdo:jobTitle", None, "Ada", 'says "hi"\\path\nline\ttab\r', 1.0, 1),
+            (-5, "sdo:brand", None, "Acme", "Anvils", 1.0, 2),
+        ],
+        "subj_id long, pred string, obj_id long, subj_text string, "
+        "obj_text string, confidence double, n_evidence long",
+    )
+    lines = {r.line for r in ntriples_lines(edges).collect()}
+    assert "<http://kg.local/entity/1> <http://kg.local/pred/rel:per_loc> <http://kg.local/entity/2> ." in lines
+    assert "<http://kg.local/entity/-5> <http://kg.local/pred/sdo:brand> \"Anvils\" ." in lines
+    lit = next(l for l in lines if "jobTitle" in l)
+    body = lit.split('> "', 1)[1].rsplit('" .', 1)[0]
+    # W3C escapes present, control characters absent
+    assert "\\\\path" in body and '\\"hi\\"' in body
+    assert "\\n" in body and "\\t" in body and "\\r" in body
+    assert "\n" not in body and "\t" not in body and "\r" not in body
+
+    # python unescape round-trips to the original literal
+    def unescape(s):
+        out, i = [], 0
+        while i < len(s):
+            if s[i] == "\\":
+                out.append({"\\": "\\", '"': '"', "n": "\n",
+                            "r": "\r", "t": "\t"}[s[i + 1]])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+
+    assert unescape(body) == 'says "hi"\\path\nline\ttab\r'
+
+    # sink writes loadable text part-files
+    out_dir = str(tmp_path / "nt")
+    write_ntriples(edges, out_dir)
+    assert spark.read.text(out_dir).count() == 3
