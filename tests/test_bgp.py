@@ -1,0 +1,213 @@
+"""BGP matching + bounded property-path reachability vs pure-Python oracles."""
+
+import itertools
+
+import pytest
+
+from kgce.operators.bgp import match_bgp, reachable, _order_patterns
+
+# (subj_id, pred, obj_id, obj_text) — obj_id None => literal object,
+# mirroring materialize.build_edges output for declared knowledge.
+EDGES = [
+    (1, "per_loc", 10, None),
+    (2, "per_loc", 10, None),
+    (3, "per_loc", 11, None),
+    (1, "org_per", 2, None),
+    (2, "org_per", 3, None),
+    (10, "loc_loc", 11, None),
+    (11, "loc_loc", 12, None),
+    (12, "loc_loc", 10, None),  # cycle
+    (1, "sdo:jobTitle", None, "Engineer"),
+    (3, "sdo:jobTitle", None, "Engineer"),
+    (2, "sdo:jobTitle", None, "Smith"),
+]
+
+
+def _term_values(row, slot):
+    s, p, o, otxt = row
+    if slot == "s":
+        return str(s)
+    if slot == "p":
+        return p
+    return str(o) if o is not None else otxt
+
+
+def _py_bgp(patterns):
+    """Nested-loop BGP evaluation over EDGES: set of binding tuples
+    keyed by sorted variable name."""
+    vars_ = sorted({t[1:] for pat in patterns for t in pat if str(t).startswith("?")})
+    out = set()
+    for rows in itertools.product(EDGES, repeat=len(patterns)):
+        binding = {}
+        ok = True
+        for pat, row in zip(patterns, rows):
+            for slot, term in zip(("s", "p", "o"), pat):
+                val = _term_values(row, slot)
+                if isinstance(term, str) and term.startswith("?"):
+                    name = term[1:]
+                    if binding.setdefault(name, val) != val:
+                        ok = False
+                elif slot == "o" and isinstance(term, int):
+                    ok = ok and row[2] == term
+                elif slot == "o":
+                    ok = ok and row[2] is None and row[3] == str(term)
+                elif slot == "s":
+                    ok = ok and row[0] == int(term)
+                else:
+                    ok = ok and row[1] == str(term)
+                if not ok:
+                    break
+            if not ok:
+                break
+        if ok:
+            out.add(tuple(binding[v] for v in vars_))
+    return vars_, out
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    rows = [
+        (s, p, o, f"s{s}", otxt if otxt is not None else (f"e{o}"), 1.0, 1)
+        for (s, p, o, otxt) in EDGES
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj_id long, pred string, obj_id long, subj_text string, "
+        "obj_text string, confidence double, n_evidence long",
+    )
+
+
+BGPS = [
+    # co-located pairs: two people in the same place
+    [("?x", "per_loc", "?c"), ("?y", "per_loc", "?c")],
+    # join through an org relation + same workplace title (literal)
+    [("?x", "org_per", "?y"), ("?x", "sdo:jobTitle", "Engineer")],
+    # predicate variable over a fixed subject
+    [(1, "?p", "?o")],
+    # constant object id
+    [("?x", "per_loc", 10)],
+    # triangle in loc_loc (cycle closes)
+    [("?a", "loc_loc", "?b"), ("?b", "loc_loc", "?c"), ("?c", "loc_loc", "?a")],
+    # repeated variable inside one pattern: none here (no self-loops) -> empty
+    [("?a", "loc_loc", "?a")],
+    # disconnected product (planner must still answer)
+    [("?x", "org_per", 2), ("?y", "per_loc", 11)],
+]
+
+
+@pytest.mark.parametrize("patterns", BGPS, ids=[str(i) for i in range(len(BGPS))])
+def test_bgp_matches_python_oracle(edges_df, patterns):
+    vars_, want = _py_bgp(patterns)
+    got_df = match_bgp(edges_df, patterns)
+    assert sorted(got_df.columns) == vars_
+    got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+    assert got == want
+
+
+def test_bgp_select_distinct(edges_df):
+    # project away ?c: x values dedup under SELECT DISTINCT
+    got = match_bgp(
+        edges_df,
+        [("?x", "per_loc", "?c"), ("?y", "per_loc", "?c")],
+        select_vars=["x"],
+    )
+    assert sorted(r.x for r in got.collect()) == ["1", "2", "3"]
+
+
+def test_bgp_planner_orders_constants_first():
+    pats = [("?y", "per_loc", "?c"), ("?c", "loc_loc", 11), (1, "org_per", "?y")]
+    ordered = _order_patterns(pats)
+    assert _constants(ordered[0]) == max(_constants(p) for p in pats)
+    # every later pattern shares a variable with what came before (connected BGP)
+    bound = {t for t in ordered[0] if str(t).startswith("?")}
+    for pat in ordered[1:]:
+        assert bound & {t for t in pat if str(t).startswith("?")}
+        bound |= {t for t in pat if str(t).startswith("?")}
+
+
+def _constants(pat):
+    return sum(0 if (isinstance(t, str) and t.startswith("?")) else 1 for t in pat)
+
+
+def test_bgp_rejects_bad_patterns(edges_df):
+    with pytest.raises(ValueError):
+        match_bgp(edges_df, [])
+    with pytest.raises(ValueError):
+        match_bgp(edges_df, [("?x", "per_loc")])
+    with pytest.raises(ValueError):
+        match_bgp(edges_df, [(1, "per_loc", 10), ("?x", "per_loc", "?c")])
+
+
+def _py_reachable(pred, srcs, max_hops):
+    adj = {}
+    for s, p, o, _ in EDGES:
+        if o is not None and (pred is None or p == pred):
+            adj.setdefault(s, set()).add(o)
+    want = set()
+    for src in srcs:
+        # SPARQL pred{1,k} semantics: the source itself is reachable when a
+        # cycle returns to it, so seen does NOT pre-seed the source
+        seen = {}
+        frontier = {src}
+        for hop in range(1, max_hops + 1):
+            frontier = {n for f in frontier for n in adj.get(f, ())} - set(seen)
+            for n in frontier:
+                seen[n] = hop
+                want.add((src, n, hop))
+            if not frontier:
+                break
+    return want
+
+
+@pytest.mark.parametrize("pred,max_hops", [("loc_loc", 1), ("loc_loc", 2),
+                                           ("loc_loc", 99), (None, 3)])
+def test_reachable_matches_python_bfs(spark, edges_df, pred, max_hops):
+    srcs = [10, 1]
+    sources = spark.createDataFrame([(s,) for s in srcs], "src long")
+    got = {(r.src, r.node, r.hops) for r in
+           reachable(edges_df, pred, sources, max_hops).collect()}
+    assert got == _py_reachable(pred, srcs, max_hops)
+
+
+def test_reachable_empty_frontier(spark, edges_df):
+    sources = spark.createDataFrame([(999,)], "src long")
+    assert reachable(edges_df, "loc_loc", sources, 5).count() == 0
+
+
+def test_bgp_materializes_expensive_input_once(spark, edges_df):
+    """A lazy aggregate-derived edges input must not re-execute per
+    pattern: auto-materialize cuts the upstream subtree out of the BGP
+    plan (zero Aggregate/Generate nodes below the pattern joins)."""
+    import pyspark.sql.functions as F
+
+    lazy = (
+        edges_df.groupBy("subj_id", "pred", "obj_id")
+        .agg(
+            F.max("obj_text").alias("obj_text"),
+            F.max("confidence").alias("confidence"),
+            F.sum("n_evidence").alias("n_evidence"),
+        )
+    )
+    q = match_bgp(lazy, [("?x", "per_loc", "?c"), ("?y", "per_loc", "?c")])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the upstream groupBy is NOT in the query plan (ran once at
+    # checkpoint time); the only aggregates allowed are none at all,
+    # since full-projection BGP needs no distinct
+    assert "Aggregate" not in plan.replace("AdaptiveSparkPlan", "")
+    # results still correct vs the python oracle (dedup'ed edges identical)
+    vars_, want = _py_bgp([("?x", "per_loc", "?c"), ("?y", "per_loc", "?c")])
+    got = {tuple(r[v] for v in vars_) for r in q.collect()}
+    assert got == want
+
+
+def test_bgp_table_backed_input_stays_lazy(spark, edges_df, tmp_path):
+    """Parquet-backed edges must NOT be checkpointed: each pattern leaf
+    keeps its own pushed-down scan (PushedFilters on pred/ids)."""
+    path = str(tmp_path / "edges")
+    edges_df.write.mode("overwrite").parquet(path)
+    tbl = spark.read.parquet(path)
+    q = match_bgp(tbl, [("?x", "per_loc", "?c"), ("?y", "per_loc", "?c")])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan  # no checkpoint leaf
+    assert plan.count("Scan parquet") == 2  # one pushed-down scan per pattern
+    assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,per_loc)" in plan
