@@ -801,6 +801,48 @@ def bench_lm_perplexity(spark, sf):
     return lmfilter.perplexity(docs, lm)
 
 
+# materialized KG edges for the embedding bench, built once per
+# (session, sf) outside the timed runs (same min-of-N rationale as
+# _RECRAWL_PREV: run 1 pays the KG build, run 2+ measure pure training)
+_KG_EDGES: dict = {}
+
+
+def bench_kg_embed(spark, sf):
+    """Distributed TransE training, bench-only: 2 epochs x dim 16 over
+    the materialized KG edges (negative-sample bucket join -> 4
+    embedding joins -> zip_with gradients -> (id,pos) partial-agg
+    reduction -> renormalized update, checkpointed per epoch).  Exact
+    end-state values are pinned vs the pure-numpy twin in
+    tests/test_kgembed.py; this entry tracks the epoch cost
+    round-over-round."""
+    from kgce import pipeline
+    from kgce.operators.kgembed import train_transe
+
+    key = (id(spark.sparkContext), sf)
+    if key not in _KG_EDGES:
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        pages = docs.select(
+            F.concat(
+                F.lit("http://site"), (d % 40).cast("string"),
+                F.lit(".example/d"), d.cast("string"),
+            ).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
+        _KG_EDGES[key] = (
+            pipeline.run(pages)["edges"]
+            .select("subj_id", "pred", "obj_id")
+            .localCheckpoint(eager=True)
+        )
+    ent_emb, _rel_emb, _losses = train_transe(
+        _KG_EDGES[key], dim=16, epochs=2, lr=0.5
+    )
+    return ent_emb.select("id", F.col("vec")[0].alias("v0"))
+
+
 def q_bio_eval_full(spark, sf):
     """The complete reference eval (strict/relax/one-credit, A3 rollup,
     A4 P/R/F) as one Spark query — rows-only here because the one-credit

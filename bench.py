@@ -61,6 +61,7 @@ EXTENDED = [
     "recrawl_maintain",
     "strip_repeated_ngrams",
     "lm_perplexity",
+    "kg_embed",
     "domain_stats",
     "near_dup_groups",
     "sequence_packing",
@@ -158,6 +159,8 @@ def main() -> None:
     qs["domain_stats"] = entrymod.bench_domain_stats
     qs["link_pagerank"] = entrymod.bench_link_pagerank
     qs["lm_perplexity"] = entrymod.bench_lm_perplexity
+    # run 1 builds + caches the KG edges; run 2+ measure pure training
+    qs["kg_embed"] = entrymod.bench_kg_embed
     # min-of-N semantics matter here: run 1 builds the prev-snapshot KG
     # state (cached), run 2+ measure the pure incremental maintenance
     qs["recrawl_maintain"] = entrymod.bench_recrawl_maintain
