@@ -282,6 +282,75 @@ def train_transe(
     return ent_emb, rel_emb, losses
 
 
+def link_prediction_ranks(
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    held: DataFrame,
+    filter_known: DataFrame | None = None,
+) -> DataFrame:
+    """Tail-prediction rank per held-out triple: (subj_id, pred, obj_id,
+    rank) where rank = 1 + |{e != o : (d(s,p,e), e) <lex (d(s,p,o), o)}|
+    over ALL entities — the standard TransE evaluation, 'filtered'
+    protocol when ``filter_known`` (the training edges) is given: true
+    (s, p, e') training objects are removed from the candidate set.
+
+    Scale shape: the held-out set is small by construction (an eval
+    sample), so it broadcasts into ONE scan of the entity-embedding
+    table (|held| x |entities| score rows, partially aggregated to one
+    count per held triple before the shuffle — rank-by-count, never a
+    global sort of the candidate list).  The d_true lookup rides the
+    same broadcast; everything is JVM fold arithmetic with strict
+    left-to-right summation so the pure-python oracle agrees exactly.
+    """
+    s = ent_emb.select(F.col("id").alias("subj_id"), F.col("vec").alias("svec"))
+    o = ent_emb.select(F.col("id").alias("obj_id"), F.col("vec").alias("ovec"))
+    p = rel_emb.select("pred", F.col("vec").alias("pvec"))
+    hv = (
+        held.select("subj_id", "pred", "obj_id")
+        .join(s, "subj_id")
+        .join(o, "obj_id")
+        .join(p, "pred")
+    )
+    sp = F.zip_with("svec", "pvec", lambda a, b: a + b)
+
+    def _d(target):
+        diff = F.zip_with(sp, target, lambda a, b: a - b)
+        return F.aggregate(diff, F.lit(0.0), lambda a, v: a + v * v)
+
+    hv = hv.select("subj_id", "pred", "obj_id", sp.alias("spvec"), _d(F.col("ovec")).alias("d_true"))
+    cand = F.broadcast(hv).crossJoin(
+        ent_emb.select(F.col("id").alias("cand_id"), F.col("vec").alias("cvec"))
+    )
+    if filter_known is not None:
+        known = filter_known.select(
+            "subj_id", "pred", F.col("obj_id").alias("cand_id")
+        ).distinct()
+        cand = cand.join(known, ["subj_id", "pred", "cand_id"], "left_anti")
+    diff = F.zip_with("spvec", "cvec", lambda a, b: a - b)
+    d_cand = F.aggregate(diff, F.lit(0.0), lambda a, v: a + v * v)
+    better = (
+        (F.col("cand_id") != F.col("obj_id"))
+        & (
+            (d_cand < F.col("d_true"))
+            | ((d_cand == F.col("d_true")) & (F.col("cand_id") < F.col("obj_id")))
+        )
+    ).cast("long")
+    return cand.groupBy("subj_id", "pred", "obj_id").agg(
+        (F.sum(better) + 1).alias("rank")
+    )
+
+
+def link_prediction_metrics(ranks: DataFrame, ks=(1, 10)) -> DataFrame:
+    """One row: mean rank, MRR and hits@k over the rank table."""
+    aggs = [
+        F.avg(F.col("rank").cast("double")).alias("mean_rank"),
+        F.avg(F.lit(1.0) / F.col("rank")).alias("mrr"),
+    ]
+    for k in ks:
+        aggs.append(F.avg((F.col("rank") <= k).cast("double")).alias(f"hits_at_{k}"))
+    return ranks.agg(*aggs)
+
+
 def entity_vectors_for_ann(ent_emb: DataFrame) -> DataFrame:
     """(id, embedding array<float>) in the shape operators/ann.py
     consumes — the bridge from learned KG embeddings to the existing

@@ -167,3 +167,62 @@ def test_vectors_feed_ann_near_dup(trained):
     )
     got = pairs.collect()
     assert all(r.a < r.b for r in got)  # canonical pair order, no dups
+
+
+def _py_score(sv, pv, ov):
+    # strict left-to-right fold, mirroring F.aggregate exactly
+    acc = 0.0
+    for i in range(len(sv)):
+        v = (sv[i] + pv[i]) - ov[i]
+        acc = acc + v * v
+    return acc
+
+
+def _py_ranks(E, R, held, known=None):
+    out = {}
+    for s, p, o in held:
+        d_true = _py_score(E[s], R[p], E[o])
+        better = 0
+        for e in E:
+            if e == o:
+                continue
+            if known is not None and (s, p, e) in known:
+                continue
+            d = _py_score(E[s], R[p], E[e])
+            if d < d_true or (d == d_true and e < o):
+                better += 1
+        out[(s, p, o)] = better + 1
+    return out
+
+
+@pytest.mark.parametrize("filtered", [False, True])
+def test_link_prediction_ranks_match_python(spark, edges_df, trained, filtered):
+    from kgce.operators.kgembed import link_prediction_ranks
+
+    ent_emb, rel_emb, _ = trained
+    E = {r.id: list(r.vec) for r in ent_emb.collect()}
+    R = {r.pred: list(r.vec) for r in rel_emb.collect()}
+    held_triples = TRIPLES[::3]
+    held = spark.createDataFrame(held_triples, "subj_id long, pred string, obj_id long")
+    known = set(TRIPLES) if filtered else None
+    got = {
+        (r.subj_id, r.pred, r.obj_id): r.rank
+        for r in link_prediction_ranks(
+            ent_emb, rel_emb, held, filter_known=edges_df if filtered else None
+        ).collect()
+    }
+    assert got == _py_ranks(E, R, held_triples, known)
+
+
+def test_link_prediction_metrics(spark, trained):
+    from kgce.operators.kgembed import link_prediction_metrics
+
+    ranks = spark.createDataFrame(
+        [(1, "p", 2, 1), (1, "p", 3, 4), (2, "p", 3, 20)],
+        "subj_id long, pred string, obj_id long, rank long",
+    )
+    m = link_prediction_metrics(ranks, ks=(1, 10)).first()
+    assert m.mean_rank == pytest.approx(25 / 3)
+    assert m.mrr == pytest.approx((1 + 0.25 + 0.05) / 3)
+    assert m.hits_at_1 == pytest.approx(1 / 3)
+    assert m.hits_at_10 == pytest.approx(2 / 3)
