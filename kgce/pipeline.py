@@ -416,6 +416,7 @@ def run(
     clean: dict | None = None,
     provenance_k: int | None = None,
     structured: bool = False,
+    embed: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Uncheckpointed single-job run (tests, small corpora).  ``clean``
     (kwargs for :func:`clean_pages`) enables the hygiene pre-pass;
@@ -423,7 +424,12 @@ def run(
     through triples into the edges table; ``structured`` unions the
     declared JSON-LD triples (:func:`structured_canonical`) into the
     edge set — extracted from the CLEANED pages, so hygiene-dropped
-    spam never asserts declared facts."""
+    spam never asserts declared facts; ``embed`` (kwargs for
+    :func:`operators.kgembed.train_transe`, e.g. ``{"dim": 16,
+    "epochs": 3}``) trains TransE over the final edge set and attaches
+    the learned vector to each node as an ``embedding`` column (left
+    join — literal-only entities keep a null), ready for the ANN
+    entity-resolution stack."""
     if clean is not None:
         pages = clean_pages(pages, **clean)
     # mentions feed THREE consumers (triple chain, linking vocabulary,
@@ -442,11 +448,21 @@ def run(
                 pages, canon.select("norm", "canonical_id"), provenance_k
             )
         )
+    nodes = materialize.build_nodes(canon, mentions)
+    edges = materialize.build_edges(trips)
+    if embed is not None:
+        from .operators.kgembed import entity_vectors_for_ann, train_transe
+
+        ent_emb, _rel_emb, _losses = train_transe(edges, **embed)
+        vecs = entity_vectors_for_ann(ent_emb).withColumnRenamed("id", "canonical_id")
+        # UNHINTED left join: the vector table is entity-vocabulary-scale
+        # (same order as nodes itself) — AQE picks the strategy
+        nodes = nodes.join(vecs, "canonical_id", "left")
     return {
         "mentions": mentions,
         "triples": trips,
-        "nodes": materialize.build_nodes(canon, mentions),
-        "edges": materialize.build_edges(trips),
+        "nodes": nodes,
+        "edges": edges,
     }
 
 

@@ -513,3 +513,25 @@ def test_pipeline_structured_provenance_bounded(spark):
     assert len(brand) == 1
     assert brand[0].n_evidence == 5
     assert brand[0].evidence_urls == ["http://p0.example/x", "http://p1.example/x"]
+
+
+def test_pipeline_run_with_embeddings(spark):
+    """embed= trains TransE over the produced edges and attaches the
+    learned vector to every entity node (embedding column, unit norm,
+    ANN-ready float array)."""
+    import math
+
+    out = pipeline.run(_pages(spark), embed={"dim": 8, "epochs": 1, "lr": 0.5})
+    nodes = out["nodes"]
+    assert "embedding" in nodes.columns
+    assert dict(nodes.dtypes)["embedding"] == "array<float>"
+    rows = nodes.collect()
+    # every entity that appears in an entity-object edge got a vector
+    edge_ids = {r.subj_id for r in out["edges"].collect()} | {
+        r.obj_id for r in out["edges"].collect() if r.obj_id is not None
+    }
+    with_vec = {r.canonical_id for r in rows if r.embedding is not None}
+    assert edge_ids <= with_vec
+    for r in rows:
+        if r.embedding is not None:
+            assert abs(math.sqrt(sum(v * v for v in r.embedding)) - 1.0) < 1e-5
