@@ -53,7 +53,13 @@ HEADLINE = [
 # forms are exact all-pairs (max_df=None) and the synthetic corpus's
 # shared filler vocabulary makes that quadratic (158s/50s at sf0.01);
 # they exist to grade VALUES, the scale path is the max_df-guarded /
-# LSH-blocked form already benched via near_dup_groups.
+# LSH-blocked form already benched via near_dup_groups.  Also excluded:
+# BGP pattern queries (operators/bgp.py) — the synthetic KG collapses to
+# ~5 hub subjects per predicate (measured), so variable-variable joins
+# are either degenerate-quadratic (45M bindings at sf0.01) or pure
+# fixed overhead; the operator's scale shape is pinned by the
+# PushedFilters/no-recompute plan tests in test_bgp and the PLANS.md
+# kg_bgp audit instead.
 EXTENDED = [
     "pipeline_full_prov",
     "structured_triples",

@@ -253,3 +253,52 @@ def ntriples_lines(edges: DataFrame, base_iri: str = _NT_BASE) -> DataFrame:
 def write_ntriples(edges: DataFrame, out_dir: str, base_iri: str = _NT_BASE) -> None:
     """Materialize the edges table as N-Triples text part-files."""
     ntriples_lines(edges, base_iri).write.mode("overwrite").text(out_dir)
+
+
+def _nt_unescape(col) -> "F.Column":
+    """Inverse of _nt_escape.  Escape sequences are processed via a
+    placeholder round-trip so an unescaped ``\\\\n`` does NOT turn into a
+    newline: ``\\\\`` is parked on a \\x00 sentinel first (never present
+    in N-Triples source — the grammar forbids raw control characters),
+    the single-char escapes decode, then the sentinel restores the
+    literal backslash."""
+    out = F.regexp_replace(col, r"\\\\", "\x00")
+    out = F.regexp_replace(out, r'\\"', '"')
+    out = F.regexp_replace(out, r"\\n", "\n")
+    out = F.regexp_replace(out, r"\\r", "\r")
+    out = F.regexp_replace(out, r"\\t", "\t")
+    return F.regexp_replace(out, "\x00", r"\\")
+
+
+def read_ntriples(spark, path: str, base_iri: str = _NT_BASE) -> DataFrame:
+    """Load N-Triples text back into edge rows: (subj_id, pred, obj_id,
+    obj_text) — the inverse of :func:`write_ntriples` for lines written
+    with the same ``base_iri`` (entity/pred IRIs under it parse back to
+    ids; literal objects unescape into ``obj_text`` with ``obj_id``
+    null).  One narrow regexp projection over a text scan — the same
+    scale shape as any line-format ingest; lines that do not match the
+    writer's shape (comments, blank lines, foreign IRIs) are dropped."""
+    ent = F.lit(f"<{base_iri}entity/")
+    pred_p = f"^<{base_iri}entity/(-?\\d+)> <{base_iri}pred/([^>]+)> (.+) \\.$"
+    df = spark.read.text(path)
+    m = df.select(
+        F.regexp_extract("value", pred_p, 1).alias("s"),
+        F.regexp_extract("value", pred_p, 2).alias("pred"),
+        F.regexp_extract("value", pred_p, 3).alias("obj"),
+    ).filter(F.col("s") != "")
+    is_iri = F.col("obj").startswith(f"<{base_iri}entity/") & F.col("obj").endswith(">")
+    obj_id = F.when(
+        is_iri,
+        F.regexp_extract("obj", f"^<{base_iri}entity/(-?\\d+)>$", 1).cast("long"),
+    )
+    is_lit = F.col("obj").startswith('"') & F.col("obj").endswith('"')
+    obj_text = F.when(
+        is_lit,
+        _nt_unescape(F.expr("substring(obj, 2, length(obj) - 2)")),
+    )
+    return m.select(
+        F.col("s").cast("long").alias("subj_id"),
+        "pred",
+        obj_id.alias("obj_id"),
+        obj_text.alias("obj_text"),
+    ).filter(F.col("obj_id").isNotNull() | F.col("obj_text").isNotNull())

@@ -171,3 +171,35 @@ def test_ntriples_sink_escaping_and_roundtrip(spark, tmp_path):
     out_dir = str(tmp_path / "nt")
     write_ntriples(edges, out_dir)
     assert spark.read.text(out_dir).count() == 3
+
+
+def test_ntriples_reader_roundtrip(spark, tmp_path):
+    """read_ntriples inverts write_ntriples: entity IRIs parse back to
+    ids, literals (incl. every escapable char and a '\\n'-adjacent ' .'
+    trap) unescape byte-identically, junk lines are dropped."""
+    from kgce.sources.sinks import read_ntriples, write_ntriples
+
+    edges = spark.createDataFrame(
+        [
+            (1, "rel:per_loc", 2, "Ada", "Berlin", 0.9, 3),
+            (1, "sdo:jobTitle", None, "Ada", 'says "hi"\\path\nline\ttab\r', 1.0, 1),
+            (-5, "sdo:brand", None, "Acme", "ends with dot .", 1.0, 2),
+            (7, "sdo:note", None, "X", "\\n is not a newline", 1.0, 1),
+        ],
+        "subj_id long, pred string, obj_id long, subj_text string, "
+        "obj_text string, confidence double, n_evidence long",
+    )
+    out_dir = str(tmp_path / "nt")
+    write_ntriples(edges, out_dir)
+    # junk the reader must skip
+    with open(f"{out_dir}/extra.txt", "w") as f:
+        f.write("# comment\n\n<http://other.org/e/1> <http://other.org/p> \"x\" .\n")
+    back = read_ntriples(spark, out_dir)
+    got = {(r.subj_id, r.pred, r.obj_id, r.obj_text) for r in back.collect()}
+    want = {
+        (1, "rel:per_loc", 2, None),
+        (1, "sdo:jobTitle", None, 'says "hi"\\path\nline\ttab\r'),
+        (-5, "sdo:brand", None, "ends with dot ."),
+        (7, "sdo:note", None, "\\n is not a newline"),
+    }
+    assert got == want
