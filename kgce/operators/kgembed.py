@@ -204,11 +204,21 @@ def train_transe(
     margin: float = 1.0,
     seed: int = 0,
     avg_bucket: int = 8,
+    warm_ent: DataFrame | None = None,
+    warm_rel: DataFrame | None = None,
 ):
     """Train TransE over the edges table (entity-object rows only;
     literal objects carry no obj_id and are skipped).  Returns
     ``(ent_emb, rel_emb, losses)`` — two checkpointed DataFrames
     ((id, vec) / (pred, vec)) and the per-epoch hinge-loss floats.
+
+    ``warm_ent``/``warm_rel`` warm-start from a previous model (the
+    recrawl shape: delta.maintain_snapshot updates the edge table, this
+    continues training instead of relearning from scratch): entities /
+    predicates present in the warm table keep their vectors, NEW ones
+    get the deterministic md5 init, and entities no longer in any edge
+    drop out (the vocabulary is always derived from the current edges).
+    Vectors must match ``dim``.
 
     One epoch = negative-sample join -> 4 embedding lookups (joins on a
     table the same order of magnitude as the entity vocabulary, left
@@ -227,11 +237,24 @@ def train_transe(
     if n_entities == 0:
         raise ValueError("no entity-object edges to train on")
     n_buckets = max(1, n_entities // avg_bucket)
-    ent_emb = _checkpoint(init_embeddings(entities, "id", dim, seed))
-    rel_emb = _checkpoint(
+
+    def _maybe_warm(cold: DataFrame, warm: DataFrame | None, key: str) -> DataFrame:
+        if warm is None:
+            return _checkpoint(cold)
+        w = warm.select(key, F.col("vec").alias("_warm_vec"))
+        return _checkpoint(
+            cold.join(w, key, "left").select(
+                key, F.coalesce("_warm_vec", "vec").alias("vec")
+            )
+        )
+
+    ent_emb = _maybe_warm(init_embeddings(entities, "id", dim, seed), warm_ent, "id")
+    rel_emb = _maybe_warm(
         init_embeddings(
             triples.select("pred").distinct(), "pred", dim, seed, normalize=True
-        )
+        ),
+        warm_rel,
+        "pred",
     )
     losses: list[float] = []
     for epoch in range(epochs):

@@ -226,3 +226,64 @@ def test_link_prediction_metrics(spark, trained):
     assert m.mrr == pytest.approx((1 + 0.25 + 0.05) / 3)
     assert m.hits_at_1 == pytest.approx(1 / 3)
     assert m.hits_at_10 == pytest.approx(2 / 3)
+
+
+def test_warm_start_matches_python_twin(spark, edges_df, trained):
+    """Recrawl shape: continue training from a previous model over an
+    UPDATED edge set (new entity 99, one edge dropped) — warm ids keep
+    their vectors, new ids get md5 init, exact oracle parity holds."""
+    from kgce.operators.kgembed import train_transe
+
+    ent_emb, rel_emb, _ = trained
+    new_triples = TRIPLES[1:] + [(99, "per_loc", 10), (99, "org_per", 1)]
+    rows = [(s, p, o, f"s{s}", f"o{o}", 1.0, 1) for s, p, o in new_triples]
+    edges2 = spark.createDataFrame(rows, edges_df.schema)
+    got_E_df, got_R_df, losses = train_transe(
+        edges2, dim=DIM, epochs=1, lr=LR, margin=MARGIN, seed=SEED,
+        avg_bucket=AVG_BUCKET, warm_ent=ent_emb, warm_rel=rel_emb,
+    )
+
+    # python twin: init from the trained model, md5 init for entity 99
+    E0, R0, _ = _py_transe(TRIPLES, DIM, EPOCHS, LR, MARGIN, SEED, AVG_BUCKET)
+    ents = sorted({s for s, _, _ in new_triples} | {o for _, _, o in new_triples})
+    n_buckets = max(1, len(ents) // AVG_BUCKET)
+    E = {e: E0.get(e, _init_vec(str(e), DIM, SEED)) for e in ents}
+    R = dict(R0)
+    buckets = {}
+    for e in ents:
+        buckets.setdefault(_h60(str(e)) % n_buckets, []).append(e)
+    gE = {e: np.zeros(DIM) for e in ents}
+    gR = {p: np.zeros(DIM) for p in R}
+    loss, n_scored = 0.0, 0
+    for s, p, o in new_triples:
+        tag = f"{s}:{p}:{o}:0:{SEED}"
+        cands = buckets.get(_h60(tag) % n_buckets, [])
+        if not cands:
+            continue
+        n_scored += 1
+        tb = hashlib.md5((tag + "#tb").encode()).hexdigest()
+        neg = min(cands, key=lambda e: _h60(f"{tb}@{e}"))
+        d = E[s] + R[p] - E[o]
+        dn = E[s] + R[p] - E[neg]
+        hinge = MARGIN + float(d @ d) - float(dn @ dn)
+        if hinge <= 0:
+            continue
+        loss += hinge
+        gE[s] += 2 * (d - dn); gR[p] += 2 * (d - dn)
+        gE[o] += -2 * d; gE[neg] += 2 * dn
+    n_scored = max(n_scored, 1)
+    step = LR / n_scored
+    for e in ents:
+        v = E[e] - step * gE[e]
+        E[e] = v / np.linalg.norm(v)
+    for p in R:
+        R[p] = R[p] - step * gR[p]
+
+    np.testing.assert_allclose(losses, [loss / n_scored], rtol=1e-9)
+    got_E = {r.id: np.array(r.vec) for r in got_E_df.collect()}
+    assert set(got_E) == set(ents)  # dropped-edge-only entities vanish
+    for e in ents:
+        np.testing.assert_allclose(got_E[e], E[e], rtol=1e-9, atol=1e-12)
+    got_R = {r.pred: np.array(r.vec) for r in got_R_df.collect()}
+    for p in R:
+        np.testing.assert_allclose(got_R[p], R[p], rtol=1e-9, atol=1e-12)
