@@ -1,4 +1,5 @@
-"""Entity-graph analytics: degrees and degree-ordered triangle counting.
+"""Entity-graph analytics: degrees, degree-ordered triangle counting,
+and label-propagation community detection.
 
 After linking, the engine owns a large co-occurrence/similarity graph;
 triangle density is the standard signal for cluster quality (near-dup
@@ -99,3 +100,102 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = e.agg(F.count("*").alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(wcounts)
+
+
+def label_propagation(
+    edges: DataFrame, a: str = "a", b: str = "b", iterations: int = 5
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007): every node starts in its own community, then for a
+    fixed number of rounds simultaneously adopts the label held by the
+    plurality of its neighbors (ties broken by the SMALLEST label, so
+    the result is deterministic — the original paper breaks ties
+    randomly and is therefore non-reproducible).  Returns
+    (node, label).  Complements connected components: CC answers "same
+    entity" over sparse equivalence edges; LPA finds dense regions of
+    the co-occurrence graph (topic/entity clusters) that CC would merge
+    into one giant component.
+
+    Scale shape — the same iterative-DataFrame discipline as
+    links.pagerank:
+
+    * the symmetrized edge table is built ONCE and persisted; every
+      round re-reads it (one corpus-scale table, K reads, zero
+      re-shuffles of the raw edges),
+    * each round is join(labels) -> count by (node, neighbor label) ->
+      per-node argmax via a ``min(struct(-n, label))`` aggregate — two
+      HashAggregates with map-side partials, NO window/global sort,
+    * the per-round label table (O(nodes), not O(edges)) is eagerly
+      checkpointed so round k's plan is depth-1 off a materialized
+      table — a lazily chained loop replays the whole prefix per round
+      (the pagerank 2^k lesson),
+    * isolated endpoints never appear in ``edges`` by construction;
+      nodes whose neighbors all dropped ties keep their current label
+      via the left join + coalesce.
+
+    Fixed-iteration semantics on purpose: synchronous LPA can oscillate
+    between two labelings on bipartite-ish regions, so convergence is
+    not a stopping rule at scale — K rounds is (K passes being the
+    documented bound, matching how production systems run it).
+    """
+    e = _checkpoint(canonical_edges(edges, a, b))
+    sym = e.unionAll(e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi")))
+    sym = sym.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).persist()
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        nbr_labels = sym.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        )
+        counted = nbr_labels.groupBy("node", "label").agg(F.count("*").alias("n"))
+        best = counted.groupBy("node").agg(
+            F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("label"))).alias("_b")
+        )
+        labels = (
+            labels.select("node", F.col("label").alias("_old"))
+            .join(best, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("_b.label"), F.col("_old")).alias("label")
+            )
+            .localCheckpoint(eager=True)  # O(nodes); truncates lineage per round
+        )
+    sym.unpersist()
+    return labels
+
+
+def k_core(edges: DataFrame, k: int, a: str = "a", b: str = "b") -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node has degree >= k, as its edge set (lo, hi).  The standard
+    density filter between "connected" (CC) and "clique-ish" (triangle
+    counting): 2-core strips pendant chains off entity clusters, higher
+    cores isolate the spam-graph hubs worth manual review.
+
+    Iterative peel to FIXPOINT: each round computes degrees (one
+    count-by-key over the surviving edges), drops nodes under k with a
+    semi-join on BOTH endpoints, and eagerly checkpoints the shrinking
+    edge table (bounded lineage, same discipline as pagerank/LPA).  The
+    per-round 1-scalar survivor count read off the checkpoint is the
+    bounded driver-side fixed-point test; rounds needed = the peel
+    depth (the longest chain of cascading removals), which is tiny on
+    real graphs — and each round's cost shrinks with the graph.
+    """
+    e = _checkpoint(canonical_edges(edges, a, b))
+    n_edges = e.count()
+    while n_edges:
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        nxt = _checkpoint(
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi").join(
+                keep.withColumnRenamed("node", "hi"), "hi", "left_semi"
+            ).select("lo", "hi")
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return nxt
+        e, n_edges = nxt, n_next
+    return e

@@ -136,3 +136,23 @@ def assertion_intervals(
         )
         .drop("_island")
     )
+
+
+def assertions_asof(
+    intervals: DataFrame, snap: int, snap_col_prefix: str = "valid"
+) -> DataFrame:
+    """Point-in-time KG view: the facts whose assertion episode covers
+    snapshot ``snap`` (``valid_from <= snap <= valid_to``).
+
+    A pure narrow filter over the interval table — both bounds are
+    literals, so Catalyst pushes them into the scan (PushedFilters on a
+    parquet-materialized interval table) and at 10^12-edge scale the
+    time-travel query reads only the row groups whose min/max interval
+    stats overlap the probe.  Episodes are disjoint per key by
+    construction (assertion_intervals merges touching runs), so at most
+    one row per key survives — no dedup pass is needed.
+    """
+    lo, hi = f"{snap_col_prefix}_from", f"{snap_col_prefix}_to"
+    return intervals.filter(
+        (F.col(lo) <= F.lit(snap)) & (F.col(hi) >= F.lit(snap))
+    ).drop(lo, hi, "n_snapshots", "n_page_assertions")

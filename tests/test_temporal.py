@@ -137,3 +137,37 @@ def test_assertion_intervals_gaps_and_islands(spark):
         """).fetchall()
     )
     assert got == duck
+
+
+def test_assertions_asof_point_in_time_view(spark):
+    """assertions_asof == the facts whose episode covers the probe snap;
+    re-asserted facts appear through either episode but never twice
+    (episodes are disjoint per key by construction)."""
+    from kgce.operators.temporal import assertion_intervals, assertions_asof
+
+    rows = [
+        ("A", "r", "B", s) for s in (1, 2, 3, 6)
+    ] + [("C", "r", "D", 4), ("E", "r", "F", 9), ("A", "r", "X", 2), ("A", "r", "X", 3)]
+    df = spark.createDataFrame(
+        rows, "subj_text string, pred string, obj_text string, snap_id int"
+    )
+    intervals = assertion_intervals(df)
+
+    def facts_at(snap):
+        return {
+            (r.subj_text, r.pred, r.obj_text)
+            for r in assertions_asof(intervals, snap).collect()
+        }
+
+    for snap in range(0, 11):
+        want = {
+            (s, p, o)
+            for (s, p, o) in {(s, p, o) for s, p, o, _ in rows}
+            if any(rs == snap for a, b, c, rs in rows if (a, b, c) == (s, p, o))
+        }
+        assert facts_at(snap) == want, snap
+    # the A-r-B gap snapshot sits between two episodes and matches neither
+    assert ("A", "r", "B") in facts_at(3) and ("A", "r", "B") not in facts_at(5)
+    # at most one row per key survives any probe
+    out = assertions_asof(intervals, 2).collect()
+    assert len(out) == len({(r.subj_text, r.pred, r.obj_text) for r in out})
