@@ -801,22 +801,14 @@ def bench_lm_perplexity(spark, sf):
     return lmfilter.perplexity(docs, lm)
 
 
-# materialized KG edges for the embedding bench, built once per
-# (session, sf) outside the timed runs (same min-of-N rationale as
-# _RECRAWL_PREV: run 1 pays the KG build, run 2+ measure pure training)
+# materialized KG edges for the embedding / rule-mining benches, built
+# once per (session, sf) outside the timed runs (same min-of-N rationale
+# as _RECRAWL_PREV: run 1 pays the KG build, run 2+ measure the operator)
 _KG_EDGES: dict = {}
 
 
-def bench_kg_embed(spark, sf):
-    """Distributed TransE training, bench-only: 2 epochs x dim 16 over
-    the materialized KG edges (negative-sample bucket join -> 4
-    embedding joins -> zip_with gradients -> (id,pos) partial-agg
-    reduction -> renormalized update, checkpointed per epoch).  Exact
-    end-state values are pinned vs the pure-numpy twin in
-    tests/test_kgembed.py; this entry tracks the epoch cost
-    round-over-round."""
+def _kg_edges(spark, sf):
     from kgce import pipeline
-    from kgce.operators.kgembed import train_transe
 
     key = (id(spark.sparkContext), sf)
     if key not in _KG_EDGES:
@@ -837,10 +829,71 @@ def bench_kg_embed(spark, sf):
             .select("subj_id", "pred", "obj_id")
             .localCheckpoint(eager=True)
         )
+    return _KG_EDGES[key]
+
+
+def bench_kg_embed(spark, sf):
+    """Distributed TransE training, bench-only: 2 epochs x dim 16 over
+    the materialized KG edges (negative-sample bucket join -> 4
+    embedding joins -> zip_with gradients -> (id,pos) partial-agg
+    reduction -> renormalized update, checkpointed per epoch).  Exact
+    end-state values are pinned vs the pure-numpy twin in
+    tests/test_kgembed.py; this entry tracks the epoch cost
+    round-over-round."""
+    from kgce.operators.kgembed import train_transe
+
     ent_emb, _rel_emb, _losses = train_transe(
-        _KG_EDGES[key], dim=16, epochs=2, lr=0.5
+        _kg_edges(spark, sf), dim=16, epochs=2, lr=0.5
     )
     return ent_emb.select("id", F.col("vec")[0].alias("v0"))
+
+
+def bench_rule_mining(spark, sf):
+    """AMIE-style Horn-rule mining over the materialized KG edges,
+    bench-only: chain rules (one degree-capped self-equi-join on the
+    shared variable + three count-by-key rollups off a checkpointed
+    distinct body-pair table) UNIONED with implication/inversion rules
+    (entity-pair self-join).  Exact metric values are pinned vs the
+    pure-Python AMIE oracle in tests/test_rules.py; this entry tracks
+    the mining cost over the real pipeline KG round-over-round."""
+    from kgce.operators import rules as rules_ops
+
+    edges = _kg_edges(spark, sf)
+    chain = rules_ops.mine_chain_rules(edges, min_support=2).select(
+        F.concat_ws(" ^ ", "p1", "p2").alias("body"),
+        "head",
+        "support",
+        "confidence",
+        "pca_confidence",
+    )
+    impl = rules_ops.mine_implication_rules(edges, min_support=2).select(
+        F.concat_ws(":", "direction", "p1").alias("body"),
+        "head",
+        "support",
+        "confidence",
+        F.lit(None).cast("double").alias("pca_confidence"),
+    )
+    return chain.unionByName(impl)
+
+
+def bench_communities(spark, sf):
+    """Label-propagation communities over the entity co-occurrence
+    graph (the same edge set triangle_stats grades), bench-only: 5
+    synchronous rounds, two HashAggregates per round, per-round O(nodes)
+    label table checkpointed.  Exact labels are pinned vs the
+    synchronous-LPA Python oracle in tests/test_rules.py."""
+    from kgce.operators import graph, ruletag
+
+    m = (
+        ruletag.document_mentions(_t(spark, sf, "documents"))
+        .select("doc_id", "mention_text")
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("mention_text").alias("a"))
+    b = m.select("doc_id", F.col("mention_text").alias("b"))
+    edges = a.join(b, "doc_id").filter(F.col("a") < F.col("b")).select("a", "b")
+    labels = graph.label_propagation(edges, iterations=5)
+    return labels.groupBy("label").agg(F.count("*").alias("size"))
 
 
 def q_bio_eval_full(spark, sf):

@@ -68,6 +68,8 @@ EXTENDED = [
     "strip_repeated_ngrams",
     "lm_perplexity",
     "kg_embed",
+    "rule_mining",
+    "communities",
     "domain_stats",
     "near_dup_groups",
     "sequence_packing",
@@ -167,6 +169,8 @@ def main() -> None:
     qs["lm_perplexity"] = entrymod.bench_lm_perplexity
     # run 1 builds + caches the KG edges; run 2+ measure pure training
     qs["kg_embed"] = entrymod.bench_kg_embed
+    qs["rule_mining"] = entrymod.bench_rule_mining
+    qs["communities"] = entrymod.bench_communities
     # min-of-N semantics matter here: run 1 builds the prev-snapshot KG
     # state (cached), run 2+ measure the pure incremental maintenance
     qs["recrawl_maintain"] = entrymod.bench_recrawl_maintain
