@@ -592,20 +592,67 @@ def q_token_percentiles(spark, sf):
     )
 
 
-def q_cube_orders(spark, sf):
-    """CUBE aggregation: order counts/revenue over every subset of
-    (status, order year) — grouping-sets coverage beyond the rollup."""
-    o = _t(spark, sf, "orders")
-    return (
-        o.withColumn("o_year", F.year("o_orderdate"))
-        .cube("o_orderstatus", "o_year")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+def _rule_kg_edges(spark, sf):
+    """Deterministic KG from the TPC-H tables (column arithmetic only, so
+    DuckDB rebuilds the identical graph): customers/nations/regions in
+    disjoint id spaces, two chain bodies whose heads are only PARTIALLY
+    asserted — cust_in_region holds only for positive-balance customers
+    and order_nation only for >50k orders — so the mined confidences are
+    real fractions, not the degenerate 1.0."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders")
+    nation_id = lambda c: (F.col(c) + F.lit(1_000_000)).cast("long")  # noqa: E731
+    region_id = lambda c: (F.col(c) + F.lit(2_000_000)).cast("long")  # noqa: E731
+    order_id = (F.col("o_orderkey") + F.lit(4_000_000)).cast("long")
+    e1 = cust.select(
+        F.col("c_custkey").cast("long").alias("subj_id"),
+        F.lit("cust_in_nation").alias("pred"),
+        nation_id("c_nationkey").alias("obj_id"),
+    )
+    e2 = nat.select(
+        nation_id("n_nationkey").alias("subj_id"),
+        F.lit("nation_in_region").alias("pred"),
+        region_id("n_regionkey").alias("obj_id"),
+    )
+    e3 = (
+        cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .filter(F.col("c_acctbal") > 0)
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias("year"),
-            "n",
-            "revenue",
+            F.col("c_custkey").cast("long").alias("subj_id"),
+            F.lit("cust_in_region").alias("pred"),
+            region_id("n_regionkey").alias("obj_id"),
         )
+    )
+    e4 = orders.select(
+        order_id.alias("subj_id"),
+        F.lit("order_by_cust").alias("pred"),
+        F.col("o_custkey").cast("long").alias("obj_id"),
+    )
+    e5 = (
+        orders.filter(F.col("o_totalprice") > 50_000)
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            order_id.alias("subj_id"),
+            F.lit("order_nation").alias("pred"),
+            nation_id("c_nationkey").alias("obj_id"),
+        )
+    )
+    return e1.unionByName(e2).unionByName(e3).unionByName(e4).unionByName(e5)
+
+
+def q_rule_mining(spark, sf):
+    """AMIE chain-rule mining (kgce/operators/rules.py) over a
+    deterministic TPC-H-derived KG: every metric is an exact integer
+    count and every confidence a single IEEE division, so DuckDB grades
+    the full operator — capped body join, distinct body pairs, support /
+    standard / head-coverage / PCA denominators — at exact values.
+    (Replaced `cube_orders` under the driver's 50-entry cap: the Expand
+    grouping-sets machinery stays graded via `rollup_returns`.)"""
+    from kgce.operators import rules as rules_ops
+
+    return rules_ops.mine_chain_rules(
+        _rule_kg_edges(spark, sf), min_support=2, max_mid_degree=1000
     )
 
 
@@ -1320,7 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "boilerplate_sentences": q_boilerplate_sentences,
         "strip_boilerplate": q_strip_boilerplate,
-        "cube_orders": q_cube_orders,
+        "rule_mining": q_rule_mining,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         # full-pipeline + hash/graph ops (every one DuckDB-oracled)
@@ -2436,11 +2483,72 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                               WHEN 'fr' THEN 100000 ELSE 50000 END
         """,
-        "cube_orders": """
-            SELECT coalesce(o_orderstatus, 'ALL') AS status,
-                   coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS year,
-                   count(*) AS n, round(sum(o_totalprice), 4) AS revenue
-            FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+        "rule_mining": """
+            WITH facts AS (
+              SELECT DISTINCT * FROM (
+                SELECT CAST(c_custkey AS BIGINT) AS s, 'cust_in_nation' AS p,
+                       CAST(c_nationkey + 1000000 AS BIGINT) AS o
+                FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey + 1000000 AS BIGINT), 'nation_in_region',
+                       CAST(n_regionkey + 2000000 AS BIGINT)
+                FROM nation
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), 'cust_in_region',
+                       CAST(n_regionkey + 2000000 AS BIGINT)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE c_acctbal > 0
+                UNION ALL
+                SELECT CAST(o_orderkey + 4000000 AS BIGINT), 'order_by_cust',
+                       CAST(o_custkey AS BIGINT)
+                FROM orders
+                UNION ALL
+                SELECT CAST(o_orderkey + 4000000 AS BIGINT), 'order_nation',
+                       CAST(c_nationkey + 1000000 AS BIGINT)
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE o_totalprice > 50000
+              )
+            ),
+            lhs AS (  -- (z, p1) in-fan cap, whole groups drop
+              SELECT s AS x, p AS p1, o AS z FROM (
+                SELECT *, count(*) OVER (PARTITION BY o, p) AS gn FROM facts
+              ) WHERE gn <= 1000
+            ),
+            rhs AS (  -- (z, p2) out-fan cap
+              SELECT s AS z, p AS p2, o AS y FROM (
+                SELECT *, count(*) OVER (PARTITION BY s, p) AS gn FROM facts
+              ) WHERE gn <= 1000
+            ),
+            body AS (
+              SELECT DISTINCT p1, p2, x, y FROM lhs JOIN rhs USING (z)
+            ),
+            body_count AS (
+              SELECT p1, p2, count(*) AS body_count FROM body GROUP BY p1, p2
+            ),
+            support AS (
+              SELECT p1, p2, f.p AS head, count(*) AS support
+              FROM body b JOIN facts f ON b.x = f.s AND b.y = f.o
+              GROUP BY p1, p2, f.p
+            ),
+            head_size AS (
+              SELECT p AS head, count(*) AS head_size FROM facts GROUP BY p
+            ),
+            pca AS (
+              SELECT p1, p2, hs.head, count(*) AS pca_body_count
+              FROM body b JOIN (SELECT DISTINCT p AS head, s AS x FROM facts) hs
+                USING (x)
+              GROUP BY p1, p2, hs.head
+            )
+            SELECT s.p1, s.p2, s.head, s.support, bc.body_count, h.head_size,
+                   pc.pca_body_count,
+                   s.support / bc.body_count AS confidence,
+                   s.support / h.head_size AS head_coverage,
+                   s.support / pc.pca_body_count AS pca_confidence
+            FROM support s
+            JOIN body_count bc USING (p1, p2)
+            JOIN head_size h USING (head)
+            JOIN pca pc USING (p1, p2, head)
+            WHERE s.support >= 2
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
