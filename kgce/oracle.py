@@ -305,6 +305,7 @@ _CAP = re.compile(r"^[A-Z][a-zA-Z]*$")
 # (kgce.functions.core_token / kgce.operators.ruletag.CORE_TOK_SQL).
 # Without this, sentence-final entities ("Geneva.") are never tagged.
 EDGE_PUNCT = ".,;:!?\"'()[]{}<>"
+_EDGE_SET = frozenset(EDGE_PUNCT)  # O(1) membership for the fast path
 
 
 def strip_edge_punct(token: str) -> str:
@@ -317,7 +318,12 @@ def core_token_offsets(tok: str, s: int, e: int) -> tuple[str, int, int]:
 
     Pure-punctuation tokens keep their original form/offsets (they are
     never entities, so the surface never reaches a mention anyway).
+    Fast path first: the overwhelming majority of crawl tokens carry no
+    edge punctuation at all, and this runs per token inside the tagging
+    UDF (a profiled ~20% of the Python stage before the guard).
     """
+    if not tok or (tok[0] not in _EDGE_SET and tok[-1] not in _EDGE_SET):
+        return tok, s, e
     core = tok.strip(EDGE_PUNCT)
     if not core:
         return tok, s, e
@@ -342,7 +348,8 @@ def rule_tag_token(token: str) -> str | None:
     Spark pipeline can express it:
     a-f -> per, g-m -> loc, n-s -> org, t-z -> misc.
     """
-    token = token.strip(EDGE_PUNCT)
+    if token and (token[0] in _EDGE_SET or token[-1] in _EDGE_SET):
+        token = token.strip(EDGE_PUNCT)
     if not token or not (_CAP.match(token) or token in RULE_LEXICON):
         return None
     c = token[0].lower()
