@@ -188,7 +188,11 @@ def main() -> None:
     spark.range(cores * 4).repartition(cores).mapInPandas(
         _noop, "id long"
     ).count()
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3 by default: the 2026-08-18 adjudication (BENCH/R5_NOTES.md)
+    # showed BOTH runs of a min-of-2 landing inside one multi-minute
+    # neighbor-contention window (7-22s for a pinned-reproducible 1.3s
+    # query); a third run widens the window the burst must fully cover
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings, loads, all_runs, n_triples = _run_set(spark, qs, sf_dir, runs)
 
     out = {
