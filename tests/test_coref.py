@@ -1,0 +1,160 @@
+"""Intra-document alias resolution (kgce/operators/coref.py) vs exact
+pure-Python oracles, plus the composed canonicalization merge."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from kgce.operators import coref, linking
+
+
+def _norm(s):
+    return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+
+# ---------------------------------------------------------------- acronyms
+
+
+def _acronym_oracle(rows):
+    out = []
+    for url, text in rows:
+        for long_form, acro in re.findall(coref.ACRONYM_PATTERN, text):
+            words = long_form.split(" ")
+            k = len(acro)
+            if len(words) < k:
+                continue
+            tail = words[-k:]
+            if "".join(w[0] for w in tail) == acro:
+                out.append((url, " ".join(tail), acro))
+    return sorted(out)
+
+
+def test_acronym_definitions_match_re_oracle(spark):
+    rows = [
+        ("u1", "The World Health Organization (WHO) said that the United "
+               "Nations (UN) and New York (USA) disagree."),
+        ("u2", "European Space Agency (ESA) launches; also see Inter "
+               "Continental Ballistic Missile (ICBM) and plain (AB) text."),
+        ("u3", "No definitions here, just (LOUD) noise and One (O) char."),
+        ("u4", "Nested Deep Learning Model (DLM) then Deep Learning (DL)."),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = sorted(
+        (r.url, r.long_form, r.acronym)
+        for r in coref.acronym_definitions(df).collect()
+    )
+    want = _acronym_oracle(rows)
+    assert got == want
+    assert ("u1", "World Health Organization", "WHO") in got
+    assert all(a != "USA" for _, _, a in got)  # initials mismatch rejected
+
+
+# ----------------------------------------------------------- suffix aliases
+
+
+def _mentions(spark, rows):
+    # rows: (url, text, type)
+    return spark.createDataFrame(
+        [(u, i, i, t, 0, len(t), ty) for i, (u, t, ty) in enumerate(rows)],
+        "url string, sent_id long, mention_id long, text string, "
+        "start long, end long, type string",
+    )
+
+
+def _suffix_oracle(rows, min_len=4, match_type=True):
+    per_doc = defaultdict(set)
+    for u, t, ty in rows:
+        per_doc[u].add((_norm(t), ty))
+    out = set()
+    for u, surfaces in per_doc.items():
+        for full, fty in surfaces:
+            toks = full.split(" ")
+            if len(toks) < 2:
+                continue
+            for alias, aty in surfaces:
+                if " " in alias or len(alias) < min_len:
+                    continue
+                if match_type and aty != fty:
+                    continue
+                if toks[-1] == alias:
+                    out.add((u, fty, alias, full))
+    return out
+
+
+def test_suffix_alias_pairs_both_type_modes(spark):
+    rows = [
+        ("d1", "Barack Obama", "per"), ("d1", "Obama", "per"),
+        ("d1", "Obama", "org"),                  # cross-type single
+        ("d1", "Michelle Obama", "per"),         # second full form, same alias
+        ("d2", "Barack Obama", "per"),           # alias absent in this doc
+        ("d2", "Kofi Annan", "per"), ("d2", "Annan", "per"),
+        ("d3", "Deep Blue", "misc"), ("d3", "Blue", "misc"),
+        ("d3", "Ann", "per"), ("d3", "Mary Ann", "per"),  # too short
+    ]
+    for match_type in (True, False):
+        got = {
+            (r.url, r.type, r.alias_norm, r.full_norm)
+            for r in coref.suffix_alias_pairs(
+                _mentions(spark, rows), match_type=match_type
+            ).collect()
+        }
+        assert got == _suffix_oracle(rows, match_type=match_type), match_type
+    typed = _suffix_oracle(rows, match_type=True)
+    assert ("d1", "per", "obama", "barack obama") in typed
+    assert ("d2", "per", "obama", "barack obama") not in typed
+
+
+# ------------------------------------------------- composed canonicalization
+
+
+def test_alias_edges_min_docs_gate(spark):
+    rows = [
+        ("d1", "Barack Obama", "per"), ("d1", "Obama", "per"),
+        ("d2", "Barack Obama", "per"), ("d2", "Obama", "per"),
+        ("d3", "Deep Blue", "misc"), ("d3", "Blue", "misc"),
+    ]
+    m = _mentions(spark, rows)
+    e1 = {
+        (r.a, r.b): r.n_docs for r in coref.alias_edges(m, min_docs=2).collect()
+    }
+    # only the 2-doc pair survives; keys are the linking key space
+    obama = (
+        m.sparkSession.createDataFrame([("obama",), ("barack obama",)], "n string")
+        .select(F.xxhash64("n").alias("k")).collect()
+    )
+    assert e1 == {(obama[0].k, obama[1].k): 2}
+    assert len(coref.alias_edges(m, min_docs=1).collect()) == 2
+
+
+def test_canonicalize_with_aliases_merges_structural_and_fuzzy(spark):
+    # pages give the acronym definition; mentions give the suffix pair;
+    # LSH alone merges NONE of these surfaces (zero shingle overlap
+    # between 'un' and 'united nations')
+    pages = spark.createDataFrame(
+        [("p1", "The United Nations (UN) met."), ("p2", "The UN met again.")],
+        "url string, text string",
+    )
+    rows = [
+        ("p1", "United Nations", "org"), ("p1", "UN", "org"),
+        ("p2", "UN", "org"),
+        ("p1", "Barack Obama", "per"), ("p1", "Obama", "per"),
+        ("p2", "Angela Merkel", "per"),  # untouched singleton
+    ]
+    m = _mentions(spark, rows)
+    base = {
+        r.norm: r.canonical_id
+        for r in linking.canonicalize(m, threshold=0.6).collect()
+    }
+    assert base["un"] != base["united nations"]  # LSH alone cannot merge
+    got = {
+        r.norm: r.canonical_id
+        for r in coref.canonicalize_with_aliases(m, pages, min_docs=1).collect()
+    }
+    assert got["un"] == got["united nations"]
+    assert got["obama"] == got["barack obama"]
+    assert got["angela merkel"] not in (got["un"], got["obama"])
+    # same output contract as linking.canonicalize
+    assert set(got) == set(base)
