@@ -417,6 +417,7 @@ def run(
     provenance_k: int | None = None,
     structured: bool = False,
     embed: dict | None = None,
+    aliases: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Uncheckpointed single-job run (tests, small corpora).  ``clean``
     (kwargs for :func:`clean_pages`) enables the hygiene pre-pass;
@@ -429,7 +430,12 @@ def run(
     "epochs": 3}``) trains TransE over the final edge set and attaches
     the learned vector to each node as an ``embedding`` column (left
     join — literal-only entities keep a null), ready for the ANN
-    entity-resolution stack."""
+    entity-resolution stack; ``aliases`` (kwargs for
+    :func:`operators.coref.canonicalize_with_aliases`, e.g.
+    ``{"min_docs": 2, "match_type": False}``) unions intra-document
+    acronym/suffix alias edges into the canonicalization CC — the
+    CLEANED pages supply the acronym-definition scan, so
+    hygiene-dropped spam never defines an alias."""
     if clean is not None:
         pages = clean_pages(pages, **clean)
     # mentions feed THREE consumers (triple chain, linking vocabulary,
@@ -438,7 +444,14 @@ def run(
     # materializes this stage as parquet; the uncheckpointed path gets
     # the same guarantee from a localCheckpoint.
     mentions = linking._checkpoint(tagging.extract_mentions(pages))
-    canon = linking.canonicalize(mentions, threshold=link_threshold)
+    if aliases is not None:
+        from .operators import coref
+
+        canon = coref.canonicalize_with_aliases(
+            mentions, pages, threshold=link_threshold, **aliases
+        )
+    else:
+        canon = linking.canonicalize(mentions, threshold=link_threshold)
     trips = canonical_triples(
         mentions, threshold=link_threshold, canon=canon, provenance_k=provenance_k
     )

@@ -158,3 +158,32 @@ def test_canonicalize_with_aliases_merges_structural_and_fuzzy(spark):
     assert got["angela merkel"] not in (got["un"], got["obama"])
     # same output contract as linking.canonicalize
     assert set(got) == set(base)
+
+
+def test_pipeline_composes_alias_canonicalization(spark):
+    from kgce import pipeline, schemas
+
+    # note the tagger sessionizes adjacent capitalized tokens, so the
+    # definition site itself yields the glued surface "united nations un"
+    # — the alias merge needs the bare long form mentioned elsewhere,
+    # which is how the idiom appears in real prose anyway
+    texts = [
+        "Barack Obama visited Geneva and later Obama spoke.",
+        "United Nations (UN) met. People praised the United Nations"
+        " today and the UN agreed.",
+    ]
+    pages = spark.createDataFrame(
+        [(f"http://a{i}.example/", None, None, t, "en") for i, t in enumerate(texts)],
+        schema=schemas.PAGES,
+    )
+    out = pipeline.run(pages, aliases={"min_docs": 1, "match_type": False})
+    nodes = {
+        r.canonical_text: set(r.aliases) for r in out["nodes"].collect()
+    }
+    # suffix alias and acronym alias each fold into one node
+    assert {"barack obama", "obama"} <= nodes["barack obama"]
+    assert {"un", "united nations"} <= nodes["un"]
+    # and the baseline (no aliases) keeps them apart
+    base = pipeline.run(pages)
+    base_nodes = {r.canonical_text for r in base["nodes"].collect()}
+    assert {"barack obama", "obama"} <= base_nodes
