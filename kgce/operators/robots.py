@@ -1,0 +1,139 @@
+"""Robots-exclusion (REP) crawl governance: parse robots.txt bodies and
+gate the crawl frontier.
+
+A 10^12-page crawl is shaped as much by what it must NOT fetch as by
+its link graph: the Robots Exclusion Protocol (RFC 9309) decides, per
+(host, path), whether the frontier keeps a URL.  The reference engine
+has no counterpart — beyond-reference web tooling per the task brief,
+same stance as links/urlnorm/domains.
+
+Semantics implemented (the RFC 9309 / Google subset, documented):
+
+* group structure — one or more consecutive ``User-agent:`` lines bind
+  the ``Allow:``/``Disallow:`` rules that follow, until the next group;
+* agent selection — the most specific match wins: groups naming the
+  agent exactly beat ``*`` groups, and ALL groups of the winning
+  specificity apply (their rules union);
+* path matching — LONGEST-match wins; on equal length ``Allow`` wins;
+  no matching rule (or no robots.txt for the host) means allowed; an
+  empty ``Disallow:`` value matches nothing (explicit allow-all).
+* limitation — literal path prefixes only; the ``*``/``$`` wildcard
+  extension is not implemented (documented, tested as literal chars).
+
+Scale shape: parsing is one narrow pass per robots file — posexplode of
+the line array, regexp key/value split, a gaps-and-islands window
+(partitioned per host file, frame bounded by robots-file line counts,
+never corpus size) to recover group ids.  The rules table is
+host-vocabulary-scale; the frontier gate is ONE equi-join on host
+(UNHINTED — AQE broadcasts when small, shuffles when the rule set is
+corpus-proportional) followed by a per-URL longest-match aggregate with
+an O(1) ``max(struct(...))`` buffer — no window over the frontier, no
+per-rule blowup beyond the host's own rule count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_KV = r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$"
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    agent: str = "kgcebot",
+) -> DataFrame:
+    """robots.txt bodies -> (host, allow, path_prefix) for ``agent``.
+
+    One row per applicable rule after agent-group selection; hosts whose
+    selected groups contain no path rules emit nothing (allowed-by-
+    default, same as a missing file).  Comments (#) and unknown keys
+    (crawl-delay, sitemap) are ignored for gating.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("ln", "line"),
+    )
+    key = F.lower(F.regexp_extract(F.regexp_replace("line", r"#.*$", ""), _KV, 1))
+    val = F.regexp_extract(F.regexp_replace("line", r"#.*$", ""), _KV, 2)
+    parsed = lines.select(
+        "host", "ln", key.alias("key"), val.alias("val")
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    # a group starts at a user-agent line whose predecessor is not one
+    starts = F.when(
+        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0), 1
+    ).otherwise(0)
+    grouped = parsed.withColumn(
+        "grp", F.sum(starts).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).filter(F.col("grp") > 0)  # rules before any user-agent line are void
+
+    agents = grouped.filter(F.col("key") == "user-agent").select(
+        "host",
+        "grp",
+        F.lower("val").alias("ua"),
+    )
+    # specificity per group: 2 = names the agent exactly, 1 = wildcard
+    spec = agents.groupBy("host", "grp").agg(
+        F.max(
+            F.when(F.col("ua") == agent.lower(), 2)
+            .when(F.col("ua") == "*", 1)
+            .otherwise(0)
+        ).alias("spec")
+    )
+    best = spec.filter(F.col("spec") > 0).groupBy("host").agg(
+        F.max("spec").alias("best_spec")
+    )
+    chosen = spec.join(best, "host").filter(F.col("spec") == F.col("best_spec"))
+
+    rules = grouped.filter(F.col("key") != "user-agent").join(
+        chosen.select("host", "grp"), ["host", "grp"]
+    )
+    # empty Disallow matches nothing; empty Allow is meaningless too
+    return rules.filter(F.col("val") != "").select(
+        "host",
+        (F.col("key") == "allow").alias("allow"),
+        F.col("val").alias("path_prefix"),
+    )
+
+
+def frontier_allowed(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Gate frontier URLs through parsed rules: input columns plus an
+    ``allowed`` boolean (longest-match, allow wins ties, hosts without
+    matching rules allowed)."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    u = urls.withColumn("_host", host).withColumn(
+        "_path", F.when(path == "", "/").otherwise(path)
+    )
+    r = rules.select(
+        F.col("host").alias("_host"), "allow", "path_prefix"
+    )
+    joined = u.join(r, "_host", "left").withColumn(
+        "_hit",
+        F.when(
+            F.col("path_prefix").isNotNull()
+            & F.col("_path").startswith(F.col("path_prefix")),
+            # longest match wins; equal length -> allow wins (struct order)
+            F.struct(
+                F.length("path_prefix").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+            ),
+        ),
+    )
+    out_cols = [c for c in urls.columns]
+    return (
+        joined.groupBy(*[F.col(c) for c in out_cols])
+        .agg(F.max("_hit").alias("_best"))
+        .withColumn(
+            "allowed",
+            F.coalesce(F.col("_best.a") == 1, F.lit(True)),
+        )
+        .drop("_best")
+    )

@@ -1,0 +1,130 @@
+"""Robots-exclusion parsing + frontier gating vs a pure-Python REP oracle."""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+from kgce.operators import robots
+
+
+def _parse_oracle(files, agent="kgcebot"):
+    out = []
+    for host, text in files:
+        groups = []  # (agents, rules)
+        cur_agents, cur_rules, in_ua = [], [], False
+        for line in re.split(r"\r?\n", text):
+            line = re.sub(r"#.*$", "", line)
+            m = re.match(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$", line)
+            if not m:
+                continue
+            k, v = m.group(1).lower(), m.group(2)
+            if k == "user-agent":
+                if not in_ua:
+                    if cur_agents:
+                        groups.append((cur_agents, cur_rules))
+                    cur_agents, cur_rules = [], []
+                    in_ua = True
+                cur_agents.append(v.lower())
+            elif k in ("allow", "disallow"):
+                if cur_agents:
+                    in_ua = False
+                    cur_rules.append((k == "allow", v))
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        spec = [
+            2 if agent.lower() in ags else 1 if "*" in ags else 0
+            for ags, _ in groups
+        ]
+        best = max(spec, default=0)
+        if best == 0:
+            continue
+        for s, (_, rules) in zip(spec, groups):
+            if s == best:
+                out.extend((host, allow, v) for allow, v in rules if v != "")
+    return sorted(out)
+
+
+def _allowed_oracle(url, rules):
+    sp = urlsplit(url)
+    path = sp.path or "/"
+    hits = [
+        (len(p), allow)
+        for host, allow, p in rules
+        if host == sp.netloc.lower() and path.startswith(p)
+    ]
+    return max(hits)[1] if hits else True
+
+
+FILES = [
+    ("a.example", """
+User-agent: *
+Disallow: /private/
+Allow: /private/press/
+Disallow:
+
+User-agent: kgcebot
+User-agent: otherbot
+Disallow: /beta/
+Allow: /beta/ok
+# comment line
+Crawl-delay: 10
+"""),
+    ("b.example", "User-agent: *\r\nDisallow: /\r\nAllow: /pub"),
+    ("c.example", "Disallow: /orphan-rule-before-any-group\n"),
+    ("d.example", "User-agent: nobody\nDisallow: /\n"),
+]
+
+URLS = [
+    "http://a.example/beta/ok/page",      # allow (longest, exact group)
+    "http://a.example/beta/nope",         # disallow /beta/
+    "http://a.example/private/press/x",   # * group rules NOT selected for kgcebot
+    "http://a.example/",                  # no matching rule
+    "http://b.example/pub/data",          # allow /pub beats / (longer)
+    "http://b.example/secret",            # disallow /
+    "http://b.example",                   # empty path -> '/' -> disallow
+    "http://c.example/x",                 # orphan rules are void -> allowed
+    "http://d.example/x",                 # no group for us or * -> allowed
+    "http://e.example/x",                 # no robots at all -> allowed
+]
+
+
+def test_parse_robots_matches_oracle(spark):
+    df = spark.createDataFrame(FILES, "host string, text string")
+    got = sorted(
+        (r.host, r.allow, r.path_prefix)
+        for r in robots.parse_robots(df, agent="kgcebot").collect()
+    )
+    want = _parse_oracle(FILES, "kgcebot")
+    assert got == want
+    # exact-agent group selected for a.example, wildcard group dropped
+    assert ("a.example", False, "/beta/") in got
+    assert ("a.example", False, "/private/") not in got
+    assert not any(h == "d.example" for h, _, _ in got)
+
+
+def test_frontier_allowed_longest_match_and_defaults(spark):
+    rules_df = robots.parse_robots(
+        spark.createDataFrame(FILES, "host string, text string"), agent="kgcebot"
+    )
+    urls_df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = {r.url: r.allowed for r in robots.frontier_allowed(urls_df, rules_df).collect()}
+    rules = _parse_oracle(FILES, "kgcebot")
+    for u in URLS:
+        assert got[u] == _allowed_oracle(u, rules), u
+    assert got["http://a.example/beta/ok/page"] is True
+    assert got["http://a.example/beta/nope"] is False
+    assert got["http://a.example/private/press/x"] is True
+    assert got["http://b.example/pub/data"] is True
+    assert got["http://b.example"] is False
+
+
+def test_wildcard_group_applies_when_no_exact(spark):
+    df = spark.createDataFrame(FILES, "host string, text string")
+    rules = robots.parse_robots(df, agent="strangerbot")
+    got = sorted(
+        (r.host, r.allow, r.path_prefix) for r in rules.collect()
+    )
+    assert got == _parse_oracle(FILES, "strangerbot")
+    assert ("a.example", False, "/private/") in got
+    assert not any(p == "/beta/" for _, _, p in got)  # exact group not ours
