@@ -137,3 +137,55 @@ def frontier_allowed(
         )
         .drop("_best")
     )
+
+
+def sitemap_urls(
+    robots: DataFrame, host_col: str = "host", text_col: str = "text"
+) -> DataFrame:
+    """``Sitemap:`` declarations from robots.txt bodies -> (host,
+    sitemap_url).  Sitemap lines are group-independent per RFC 9309, so
+    this is a pure narrow regexp scan — no group recovery needed."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), r"\r?\n")).alias("line"),
+    )
+    url = F.regexp_extract(
+        F.regexp_replace("line", r"#.*$", ""), r"(?i)^\s*sitemap\s*:\s*(\S+)", 1
+    )
+    return lines.select("host", url.alias("sitemap_url")).filter(
+        F.col("sitemap_url") != ""
+    )
+
+
+def parse_sitemap(
+    sitemaps: DataFrame, url_col: str = "sitemap_url", xml_col: str = "xml"
+) -> DataFrame:
+    """Sitemap XML bodies -> (sitemap_url, loc, lastmod, is_index).
+
+    ``<loc>`` island extraction as a narrow regexp scan (the same
+    RE2-safe stance as the JSON-LD and WARC readers — no XML parser on
+    the hot path); ``is_index`` marks ``<sitemapindex>`` files whose
+    locs are nested sitemap URLs to fetch, not pages.  ``lastmod`` rides
+    along per ``<url>``/``<sitemap>`` block when present, feeding the
+    recrawl scheduler (operators/delta.py::select_recrawl).
+    """
+    is_index = F.col(xml_col).contains("<sitemapindex")
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), 1
+    )
+    b = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        is_index.alias("is_index"),
+        F.explode(blocks).alias("block"),
+    )
+    loc = F.regexp_extract("block", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract("block", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    return (
+        b.select(
+            "sitemap_url",
+            loc.alias("loc"),
+            F.when(lastmod != "", F.to_timestamp(lastmod)).alias("lastmod"),
+            "is_index",
+        )
+        .filter(F.col("loc") != "")
+    )

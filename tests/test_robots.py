@@ -128,3 +128,50 @@ def test_wildcard_group_applies_when_no_exact(spark):
     assert got == _parse_oracle(FILES, "strangerbot")
     assert ("a.example", False, "/private/") in got
     assert not any(p == "/beta/" for _, _, p in got)  # exact group not ours
+
+
+def test_sitemap_urls_and_parse(spark):
+    files = FILES + [
+        ("s.example", "User-agent: *\nDisallow: /x\nSitemap: http://s.example/map.xml\n"
+                      "sitemap: http://s.example/map2.xml  # case-insensitive\n"),
+    ]
+    df = spark.createDataFrame(files, "host string, text string")
+    got = sorted(
+        (r.host, r.sitemap_url) for r in robots.sitemap_urls(df).collect()
+    )
+    assert got == [
+        ("s.example", "http://s.example/map.xml"),
+        ("s.example", "http://s.example/map2.xml"),
+    ]
+
+    xml_urlset = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://s.example/a</loc><lastmod>2026-01-02</lastmod></url>
+  <url><loc>
+      http://s.example/b
+  </loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+    xml_index = """<sitemapindex>
+  <sitemap><loc>http://s.example/part1.xml</loc></sitemap>
+  <sitemap><loc>http://s.example/part2.xml</loc><lastmod>2025-12-31</lastmod></sitemap>
+</sitemapindex>"""
+    sm = spark.createDataFrame(
+        [("http://s.example/map.xml", xml_urlset),
+         ("http://s.example/idx.xml", xml_index)],
+        "sitemap_url string, xml string",
+    )
+    rows = {
+        (r.sitemap_url, r.loc): (r.lastmod, r.is_index)
+        for r in robots.parse_sitemap(sm).collect()
+    }
+    assert set(rows) == {
+        ("http://s.example/map.xml", "http://s.example/a"),
+        ("http://s.example/map.xml", "http://s.example/b"),
+        ("http://s.example/idx.xml", "http://s.example/part1.xml"),
+        ("http://s.example/idx.xml", "http://s.example/part2.xml"),
+    }
+    lm, isx = rows[("http://s.example/map.xml", "http://s.example/a")]
+    assert lm is not None and not isx
+    assert rows[("http://s.example/map.xml", "http://s.example/b")][0] is None
+    assert rows[("http://s.example/idx.xml", "http://s.example/part1.xml")][1] is True
