@@ -192,3 +192,58 @@ def canonicalize_with_aliases(
             F.coalesce(F.col("component"), F.col("entity_key")).alias("canonical_id"),
         )
     )
+
+
+def sense_split(mentions: DataFrame) -> DataFrame:
+    """Split ambiguous surface forms into senses (the inverse problem of
+    aliasing): the one-sense-per-shared-collocate baseline — two
+    documents use the SAME sense of surface ``s`` iff they are connected
+    through co-occurring surfaces (doc A and doc B share a collocate of
+    ``s``, or reach each other transitively through docs that do).
+    "paris" next to "france" and "paris" next to "hilton" stay separate
+    entities; every doc-context of an unambiguous surface folds into one
+    sense.  Returns (norm, url, sense_id) — downstream, (norm, sense_id)
+    replaces bare ``norm`` as the linking vocabulary key when sense-aware
+    canonicalization is wanted.
+
+    Scale shape: context pairs are the per-document surface self-join the
+    triple stage already pays (bounded by mentions-per-doc, never global);
+    the sense equivalence is ONE connected-components pass over a
+    bipartite graph of xxhash64-keyed (surface, doc) and (surface,
+    collocate) nodes — doc nodes of one surface can only connect through
+    that surface's own collocate nodes, so components never cross
+    surfaces.  Isolated docs (no collocates at all) keep their own node
+    id as the sense.
+    """
+    from .linking import connected_components
+
+    surf = mentions.select(
+        "url", normalize_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") > 0).distinct()
+    s, c = surf.alias("s"), surf.alias("c")
+    pairs = (
+        s.join(c, F.col("s.url") == F.col("c.url"))
+        .filter(F.col("s.norm") != F.col("c.norm"))
+        .select(
+            F.col("s.norm").alias("norm"),
+            F.col("s.url").alias("url"),
+            F.col("c.norm").alias("ctx"),
+        )
+        .distinct()
+    )
+    doc_node = F.xxhash64(F.concat_ws("\x01", F.lit("d"), "norm", "url"))
+    ctx_node = F.xxhash64(F.concat_ws("\x01", F.lit("c"), "norm", "ctx"))
+    comps = connected_components(
+        pairs.select(doc_node.alias("a"), ctx_node.alias("b"))
+    )
+    keyed = surf.withColumn(
+        "_dn", F.xxhash64(F.concat_ws("\x01", F.lit("d"), "norm", "url"))
+    )
+    return (
+        keyed.join(comps, keyed["_dn"] == comps["node"], "left")
+        .select(
+            "norm",
+            "url",
+            F.coalesce(F.col("component"), F.col("_dn")).alias("sense_id"),
+        )
+    )

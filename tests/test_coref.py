@@ -187,3 +187,65 @@ def test_pipeline_composes_alias_canonicalization(spark):
     base = pipeline.run(pages)
     base_nodes = {r.canonical_text for r in base["nodes"].collect()}
     assert {"barack obama", "obama"} <= base_nodes
+
+
+def _sense_oracle(rows):
+    """One-sense-per-shared-collocate partition per surface: docs of a
+    surface grouped by transitive shared-collocate connectivity."""
+    per_doc = defaultdict(set)
+    for u, t, _ty in rows:
+        per_doc[u].add(_norm(t))
+    surfaces = set().union(*per_doc.values()) if per_doc else set()
+    out = {}
+    for s in surfaces:
+        docs = [u for u, ns in per_doc.items() if s in ns]
+        parent = {u: u for u in docs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        by_ctx = defaultdict(list)
+        for u in docs:
+            for ctx in per_doc[u] - {s}:
+                by_ctx[ctx].append(u)
+        for us in by_ctx.values():
+            for u in us[1:]:
+                ra, rb = find(us[0]), find(u)
+                if ra != rb:
+                    parent[rb] = ra
+        groups = defaultdict(set)
+        for u in docs:
+            groups[find(u)].add(u)
+        out[s] = {frozenset(g) for g in groups.values()}
+    return out
+
+
+def test_sense_split_partitions_match_union_find(spark):
+    rows = [
+        # 'paris' sense 1: travel docs (shared collocate 'france')
+        ("t1", "Paris", "loc"), ("t1", "France", "loc"),
+        ("t2", "Paris", "loc"), ("t2", "France", "loc"), ("t2", "Lyon", "loc"),
+        # transitive: t3 shares 'lyon' with t2 only
+        ("t3", "Paris", "loc"), ("t3", "Lyon", "loc"),
+        # 'paris' sense 2: celebrity docs
+        ("c1", "Paris", "per"), ("c1", "Hilton", "per"),
+        ("c2", "Paris", "per"), ("c2", "Hilton", "per"),
+        # isolated: a doc where paris has no collocates at all
+        ("i1", "Paris", "loc"),
+        # unambiguous surface: 'france' docs all share 'paris'
+    ]
+    df = _mentions(spark, rows)
+    got_rows = coref.sense_split(df).collect()
+    got = defaultdict(lambda: defaultdict(set))
+    for r in got_rows:
+        got[r.norm][r.sense_id].add(r.url)
+    got_partitions = {s: {frozenset(g) for g in m.values()} for s, m in got.items()}
+    assert got_partitions == _sense_oracle(rows)
+    paris = got_partitions["paris"]
+    assert frozenset({"t1", "t2", "t3"}) in paris   # transitive merge
+    assert frozenset({"c1", "c2"}) in paris         # separate sense
+    assert frozenset({"i1"}) in paris               # isolated own sense
+    assert len(paris) == 3
