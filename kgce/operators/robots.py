@@ -189,3 +189,28 @@ def parse_sitemap(
         )
         .filter(F.col("loc") != "")
     )
+
+
+def assign_fetch_rounds(
+    urls: DataFrame, per_host_budget: int, url_col: str = "url"
+) -> DataFrame:
+    """Politeness scheduling: spread each host's frontier URLs across
+    fetch rounds so no round hits one host more than
+    ``per_host_budget`` times.  Adds (host, fetch_round); a scheduler
+    fetches round 0 everywhere, then round 1, ...
+
+    One window per host (rank within host by url — deterministic), then
+    integer division; round sizes are exact, hosts with fewer URLs than
+    the budget finish in round 0.  The window partitions by host, so the
+    frame is bounded by the hottest host's frontier share — the same
+    skew profile every per-host stage has; salt upstream if one host
+    dominates the frontier (plans/skew.py)."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1))
+    w = Window.partitionBy("host").orderBy(url_col)
+    return (
+        urls.withColumn("host", host)
+        .withColumn(
+            "fetch_round",
+            ((F.row_number().over(w) - 1) / per_host_budget).cast("long"),
+        )
+    )

@@ -175,3 +175,23 @@ def test_sitemap_urls_and_parse(spark):
     assert lm is not None and not isx
     assert rows[("http://s.example/map.xml", "http://s.example/b")][0] is None
     assert rows[("http://s.example/idx.xml", "http://s.example/part1.xml")][1] is True
+
+
+def test_assign_fetch_rounds_budget_and_determinism(spark):
+    urls = [f"http://h{i % 3}.example/p{j}" for i in range(3) for j in range(7)]
+    df = spark.createDataFrame([(u,) for u in sorted(set(urls))], "url string")
+    out = robots.assign_fetch_rounds(df, per_host_budget=3).collect()
+    from collections import Counter
+    per_round_host = Counter((r.host, r.fetch_round) for r in out)
+    assert max(per_round_host.values()) <= 3       # budget respected
+    by_host = Counter(r.host for r in out)
+    for (h, rnd), n in per_round_host.items():
+        full_rounds = by_host[h] // 3
+        assert n == (3 if rnd < full_rounds else by_host[h] % 3)
+    # deterministic: rank within host by url
+    again = robots.assign_fetch_rounds(df, per_host_budget=3).collect()
+    assert {(r.url, r.fetch_round) for r in out} == {
+        (r.url, r.fetch_round) for r in again
+    }
+    # round 0 exists for every host; a 7-url host needs 3 rounds
+    assert sorted({r.fetch_round for r in out if r.host == "h0.example"}) == [0, 1, 2]
