@@ -132,7 +132,11 @@ def _pattern_leaf(edges: DataFrame, pattern: tuple) -> tuple[DataFrame, dict]:
     if not _is_var(s):
         df = df.filter(F.col("subj_id") == int(s))
     if not _is_var(p):
-        df = df.filter(F.col("pred") == str(p))
+        # predicate alternation (SPARQL `p1|p2`): a list/tuple/set constant
+        if isinstance(p, (list, tuple, set, frozenset)):
+            df = df.filter(F.col("pred").isin(*[str(x) for x in p]))
+        else:
+            df = df.filter(F.col("pred") == str(p))
     if not _is_var(o):
         if isinstance(o, int):
             df = df.filter(F.col("obj_id") == o)
@@ -157,11 +161,26 @@ def _pattern_leaf(edges: DataFrame, pattern: tuple) -> tuple[DataFrame, dict]:
     return df.select(*cols), seen
 
 
+def _eval_conjunction(base: DataFrame, pats: Sequence[tuple]) -> DataFrame:
+    """Join-plan and evaluate one conjunctive pattern group."""
+    out = None
+    for pat in _order_patterns(list(pats)):
+        leaf, _ = _pattern_leaf(base, pat)
+        if out is None:
+            out = leaf
+            continue
+        shared = [c for c in leaf.columns if c in out.columns]
+        out = out.join(leaf, on=shared) if shared else out.crossJoin(leaf)
+    return out
+
+
 def match_bgp(
     edges: DataFrame,
     patterns: Iterable[tuple],
     select_vars: Sequence[str] | None = None,
     materialize: bool | None = None,
+    optional: Sequence[Iterable[tuple]] | None = None,
+    not_exists: Sequence[Iterable[tuple]] | None = None,
 ) -> DataFrame:
     """Evaluate a conjunctive triple pattern; one column per variable.
 
@@ -175,28 +194,60 @@ def match_bgp(
     checkpointed once (None = auto-detect from the analyzed plan; True /
     False force).  Table-backed edges stay lazy: per-pattern scans with
     pushed-down constant filters are exactly the plan you want there.
+
+    ``optional``: SPARQL OPTIONAL groups — each entry is a pattern group
+    evaluated as its own conjunction and LEFT-joined on the variables it
+    shares with the required bindings (optional-only variables come back
+    null when the group does not match).  The WELL-DESIGNED subset: an
+    optional group must share at least one variable with the required
+    part, and optional-only variables must not recur across groups —
+    both raise, rather than silently diverging from SPARQL semantics.
+
+    ``not_exists``: SPARQL ``FILTER NOT EXISTS`` groups — bindings with a
+    match in the group are dropped via a LEFT ANTI join on the shared
+    variables (a group sharing no variable would be a constant emptiness
+    test; it raises instead).
+
+    A predicate slot may also be a list/tuple/set of predicate strings —
+    SPARQL alternation ``p1|p2`` — pushed down as an IN filter.
     """
     pats = [tuple(p) for p in patterns]
+    opt_groups = [[tuple(p) for p in g] for g in (optional or [])]
+    anti_groups = [[tuple(p) for p in g] for g in (not_exists or [])]
     if not pats:
         raise ValueError("empty pattern list")
-    for pat in pats:
+    for pat in pats + [p for g in opt_groups + anti_groups for p in g]:
         if len(pat) != 3:
             raise ValueError(f"pattern must be (s, p, o): {pat!r}")
         if not any(_is_var(t) for t in pat) and len(pats) > 1:
             # constant-only patterns are ASK-shaped; allowed alone only
             raise ValueError(f"constant-only pattern in a multi-pattern BGP: {pat!r}")
-    base = _narrow_edges(edges, materialize, len(pats))
-    out = None
-    for pat in _order_patterns(pats):
-        leaf, _ = _pattern_leaf(base, pat)
-        if out is None:
-            out = leaf
-            continue
-        shared = [c for c in leaf.columns if c in out.columns]
-        # equi-join on shared variables; genuinely disconnected patterns
-        # cross (ordered last by the planner, so the cross is as small
-        # as the bindings allow)
-        out = out.join(leaf, on=shared) if shared else out.crossJoin(leaf)
+    n_scans = len(pats) + sum(len(g) for g in opt_groups + anti_groups)
+    base = _narrow_edges(edges, materialize, n_scans)
+    out = _eval_conjunction(base, pats)
+    seen_optional_vars: set[str] = set()
+    for group in opt_groups:
+        g = _eval_conjunction(base, group)
+        # variables a PREVIOUS optional group introduced look "shared"
+        # with `out` once joined — check recurrence against the tracked
+        # optional-only set FIRST, not against out's columns
+        clash = set(g.columns) & seen_optional_vars
+        if clash:
+            raise ValueError(
+                f"optional-only variable(s) {sorted(clash)} recur across "
+                "groups — outside the well-designed subset"
+            )
+        shared = [c for c in g.columns if c in out.columns]
+        if not shared:
+            raise ValueError(f"OPTIONAL group shares no variable: {group!r}")
+        seen_optional_vars |= set(g.columns) - set(shared)
+        out = out.join(g, on=shared, how="left")
+    for group in anti_groups:
+        g = _eval_conjunction(base, group)
+        shared = [c for c in g.columns if c in out.columns]
+        if not shared:
+            raise ValueError(f"NOT EXISTS group shares no variable: {group!r}")
+        out = out.join(g.select(*shared), on=shared, how="left_anti")
     if select_vars is not None:
         out = out.select(*select_vars).distinct()
     return out
@@ -204,12 +255,13 @@ def match_bgp(
 
 def reachable(
     edges: DataFrame,
-    pred: str | None,
+    pred: str | Sequence[str] | None,
     sources: DataFrame,
     max_hops: int,
     materialize: bool | None = None,
 ) -> DataFrame:
-    """Bounded transitive closure (SPARQL property path ``pred{1,k}``):
+    """Bounded transitive closure (SPARQL property path ``pred{1,k}``;
+    a list/tuple ``pred`` is the alternation path ``(p1|p2){1,k}``):
     (src, node, hops) for every entity reachable from ``sources``
     (one column ``src`` of entity ids) in 1..max_hops edges, keeping the
     MINIMUM hop count per (src, node).
@@ -226,7 +278,9 @@ def reachable(
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     step = edges.filter(F.col("obj_id").isNotNull())
-    if pred is not None:
+    if isinstance(pred, (list, tuple, set, frozenset)):
+        step = step.filter(F.col("pred").isin(*[str(x) for x in pred]))
+    elif pred is not None:
         step = step.filter(F.col("pred") == pred)
     step = step.select(F.col("subj_id").alias("node"), F.col("obj_id").alias("nxt"))
     # every hop joins `step` again — one consumer PER HOP, so the same

@@ -141,7 +141,10 @@ def test_bgp_rejects_bad_patterns(edges_df):
 def _py_reachable(pred, srcs, max_hops):
     adj = {}
     for s, p, o, _ in EDGES:
-        if o is not None and (pred is None or p == pred):
+        if o is not None and (
+            pred is None
+            or (p in pred if isinstance(pred, (tuple, list, set)) else p == pred)
+        ):
             adj.setdefault(s, set()).add(o)
     want = set()
     for src in srcs:
@@ -211,3 +214,163 @@ def test_bgp_table_backed_input_stays_lazy(spark, edges_df, tmp_path):
     assert "ExistingRDD" not in plan  # no checkpoint leaf
     assert plan.count("Scan parquet") == 2  # one pushed-down scan per pattern
     assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,per_loc)" in plan
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL / NOT EXISTS / alternation (round-5 extensions)
+# ---------------------------------------------------------------------------
+
+
+def _py_bgp_multiset(patterns, edges=None):
+    """Like _py_bgp but returns a binding-dict LIST (SPARQL multiset)."""
+    edges = EDGES if edges is None else edges
+    out = []
+    for rows in itertools.product(edges, repeat=len(patterns)):
+        binding, ok = {}, True
+        for pat, row in zip(patterns, rows):
+            for slot, term in zip(("s", "p", "o"), pat):
+                val = _term_values(row, slot)
+                if isinstance(term, str) and term.startswith("?"):
+                    if binding.setdefault(term[1:], val) != val:
+                        ok = False
+                elif slot == "p" and isinstance(term, (list, tuple, set, frozenset)):
+                    ok = ok and row[1] in {str(x) for x in term}
+                elif slot == "o" and isinstance(term, int):
+                    ok = ok and row[2] == term
+                elif slot == "o":
+                    ok = ok and row[2] is None and row[3] == str(term)
+                elif slot == "s":
+                    ok = ok and row[0] == int(term)
+                else:
+                    ok = ok and row[1] == str(term)
+                if not ok:
+                    break
+            if not ok:
+                break
+        if ok:
+            out.append(binding)
+    return out
+
+
+def _optional_oracle(required, opt_groups, anti_groups=()):
+    req = _py_bgp_multiset(required)
+    for group in opt_groups:
+        g = _py_bgp_multiset(group)
+        gvars = {
+            t[1:]
+            for pat in group
+            for t in pat
+            if isinstance(t, str) and t.startswith("?")
+        }
+        nxt = []
+        for b in req:
+            hits = [
+                x for x in g
+                if all(x[k] == b[k] for k in set(x) & set(b))
+            ]
+            if hits:
+                nxt.extend({**b, **h} for h in hits)
+            else:
+                nxt.append({**b, **{k: None for k in gvars - set(b)}})
+        req = nxt
+    for group in anti_groups:
+        g = _py_bgp_multiset(group)
+        req = [
+            b for b in req
+            if not any(all(x[k] == b[k] for k in set(x) & set(b)) for x in g)
+        ]
+    return req
+
+
+def _rows_to_multiset(rows, cols):
+    from collections import Counter
+    return Counter(tuple(getattr(r, c) for c in cols) for r in rows)
+
+
+def test_bgp_optional_left_join_semantics(edges_df):
+    required = [("?x", "per_loc", "?c")]
+    optional = [[("?x", "sdo:jobTitle", "?t")]]
+    out = match_bgp(edges_df, required, optional=optional)
+    want = _optional_oracle(required, optional)
+    cols = sorted(out.columns)
+    from collections import Counter
+    want_ms = Counter(tuple(b.get(c) for c in cols) for b in want)
+    assert _rows_to_multiset(out.collect(), cols) == want_ms
+    got = {(r.x, r.t) for r in out.collect()}
+    assert ("1", "Engineer") in got and ("2", "Smith") in got
+    # subject 3 is per_loc-bound and has a title; nobody is title-less
+    # here, so extend: subject 2 per_loc 10 has title Smith (bound)
+
+
+def test_bgp_optional_null_when_unmatched(spark):
+    edges = EDGES + [(4, "per_loc", 12, None)]  # 4 has no jobTitle
+    rows = [
+        (s, p, o, f"s{s}", otxt if otxt is not None else f"e{o}", 1.0, 1)
+        for (s, p, o, otxt) in edges
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj_id long, pred string, obj_id long, subj_text string, "
+        "obj_text string, confidence double, n_evidence long",
+    )
+    out = {
+        (r.x, r.t)
+        for r in match_bgp(
+            df, [("?x", "per_loc", "?c")], optional=[[("?x", "sdo:jobTitle", "?t")]]
+        ).collect()
+    }
+    assert ("4", None) in out
+    assert ("1", "Engineer") in out
+
+
+def test_bgp_not_exists_filters_bindings(edges_df):
+    # people in a place, EXCEPT those with an org_per out-edge
+    required = [("?x", "per_loc", "?c")]
+    anti = [[("?x", "org_per", "?z")]]
+    got = {
+        r.x for r in match_bgp(edges_df, required, not_exists=anti).collect()
+    }
+    want = {b["x"] for b in _optional_oracle(required, [], anti)}
+    assert got == want == {"3"}
+
+
+def test_bgp_predicate_alternation(edges_df):
+    got = _rows_to_multiset(
+        match_bgp(edges_df, [("?x", ["per_loc", "org_per"], "?y")]).collect(),
+        ["x", "y"],
+    )
+    want = _py_bgp_multiset([("?x", ["per_loc", "org_per"], "?y")])
+    from collections import Counter
+    assert got == Counter((b["x"], b["y"]) for b in want)
+    assert sum(got.values()) == 5
+
+
+def test_bgp_optional_guards(edges_df):
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(
+            edges_df, [("?x", "per_loc", "?c")], optional=[[("?q", "loc_loc", "?r")]]
+        )
+    with pytest.raises(ValueError, match="well-designed"):
+        match_bgp(
+            edges_df,
+            [("?x", "per_loc", "?c"), ("?y", "org_per", "?x")],
+            optional=[
+                [("?x", "sdo:jobTitle", "?t")],
+                [("?y", "sdo:jobTitle", "?t")],  # ?t recurs optional-only
+            ],
+        )
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(
+            edges_df, [("?x", "per_loc", "?c")], not_exists=[[(1, "?p", "?o")]]
+        )
+
+
+def test_reachable_alternation(spark, edges_df):
+    srcs = spark.createDataFrame([(1,)], "src long")
+    got = {
+        (r.src, r.node, r.hops)
+        for r in reachable(edges_df, ["org_per", "per_loc"], srcs, 3).collect()
+    }
+    want = _py_reachable(("org_per", "per_loc"), [1], 3)
+    assert got == want
+    assert (1, 2, 1) in got and (1, 10, 1) in got and (1, 3, 2) in got
