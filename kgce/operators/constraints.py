@@ -178,3 +178,76 @@ def functional_conflicts(
             "runner_up_confidence",
         )
     )
+
+
+def predicate_profile(
+    triples: DataFrame,
+    subj: str = "subj_text",
+    pred: str = "pred",
+    obj: str = "obj_text",
+    functional_threshold: float = 0.95,
+) -> DataFrame:
+    """Per-predicate cardinality profile — the statistics that DECIDE
+    which predicates :func:`functional_conflicts` should police (the
+    caller currently has to declare them; at open-extraction scale the
+    declaration must come from the data):
+
+    * ``n_triples``, ``n_subjects``, ``n_objects`` — distinct counts;
+    * ``functionality = n_subjects / n_triples`` (YAGO/PARIS: 1.0 means
+      every subject has exactly one object — birth_date-like);
+    * ``inv_functionality = n_objects / n_triples`` (1.0 means every
+      object has one subject — identifier-like);
+    * ``is_functional`` — functionality >= ``functional_threshold``.
+
+    ONE count-distinct aggregate over the distinct fact projection
+    (HashAggregate, map-side partials); output is predicate-vocabulary
+    sized.  All ratios are single IEEE divisions of exact longs —
+    cross-engine exact.  Defaults profile the text columns (present on
+    both the aggregated-triples and edges tables); pass
+    ``subj="subj_id", obj="obj_id"`` to profile canonical entity ids
+    instead (note count_distinct skips the null obj_id of declared-
+    knowledge literals).
+    """
+    t = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    ).distinct()
+    prof = t.groupBy(F.col("p").alias("pred")).agg(
+        F.count("*").alias("n_triples"),
+        F.count_distinct("s").alias("n_subjects"),
+        F.count_distinct("o").alias("n_objects"),
+    )
+    return prof.select(
+        "pred",
+        "n_triples",
+        "n_subjects",
+        "n_objects",
+        (F.col("n_subjects") / F.col("n_triples")).alias("functionality"),
+        (F.col("n_objects") / F.col("n_triples")).alias("inv_functionality"),
+        (
+            F.col("n_subjects") / F.col("n_triples") >= F.lit(functional_threshold)
+        ).alias("is_functional"),
+    )
+
+
+def mined_functional_conflicts(
+    triples: DataFrame, functional_threshold: float = 0.95, min_triples: int = 2
+) -> DataFrame:
+    """functional_conflicts with the functional-predicate list MINED from
+    the profile instead of declared: predicates whose functionality
+    clears the threshold (and have at least ``min_triples`` distinct
+    facts — a 1-triple predicate is trivially functional) feed the
+    conflict queue.  The mined predicate list is vocabulary-sized; the
+    bounded ``first()`` collect that materializes it is the same
+    driver-side discipline as the pagerank dangling mass."""
+    prof = predicate_profile(triples, functional_threshold=functional_threshold)
+    preds = [
+        r.pred
+        for r in prof.filter(
+            F.col("is_functional") & (F.col("n_triples") >= min_triples)
+        )
+        .select("pred")
+        .collect()
+    ]
+    if not preds:
+        return functional_conflicts(triples, ["__none__"]).limit(0)
+    return functional_conflicts(triples, preds)

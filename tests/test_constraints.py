@@ -123,3 +123,56 @@ def test_constraints_on_pipeline_output(spark):
     # and the violation queue is empty — a real invariant of the tagger
     assert all(abs(r.purity - 1.0) < 1e-12 for r in sigs.collect())
     assert constraints.signature_violations(trips, sigs, 0.99).count() == 0
+
+
+def _py_profile(rows, thresh=0.95):
+    facts = {(r[0], r[1], r[2]) for r in rows}
+    per = defaultdict(lambda: (set(), set(), 0))
+    agg = defaultdict(set)
+    for s, p, o in facts:
+        agg[p].add((s, o))
+    out = {}
+    for p, pairs in agg.items():
+        n = len(pairs)
+        ns = len({s for s, _ in pairs})
+        no = len({o for _, o in pairs})
+        out[p] = (n, ns, no, ns / n, no / n, ns / n >= thresh)
+    return out
+
+
+def test_predicate_profile_matches_oracle(spark, triples):
+    got = {
+        r.pred: (
+            r.n_triples, r.n_subjects, r.n_objects,
+            r.functionality, r.inv_functionality, r.is_functional,
+        )
+        for r in constraints.predicate_profile(triples).collect()
+    }
+    assert got == _py_profile([tuple(r) for r in triples.collect()])
+    # born_on: Ada has two dates -> functionality 2/3 < 0.95
+    assert got["born_on"][5] is False
+    # works_for: 4 subjects, 4 distinct facts -> functional
+    assert got["works_for"][3] == 1.0 and got["works_for"][5] is True
+
+
+def test_mined_functional_conflicts_need_no_declaration(spark, triples):
+    # lower the threshold so born_on (2/3 functionality) qualifies and
+    # its Ada conflict surfaces WITHOUT a declared predicate list
+    mined = constraints.mined_functional_conflicts(
+        triples, functional_threshold=0.6, min_triples=2
+    ).collect()
+    declared = constraints.functional_conflicts(
+        triples,
+        [
+            r.pred
+            for r in constraints.predicate_profile(
+                triples, functional_threshold=0.6
+            ).filter("is_functional and n_triples >= 2").collect()
+        ],
+    ).collect()
+    key = lambda r: (r.pred, r.subj_text, r.best_obj, r.runner_up_obj)  # noqa: E731
+    assert sorted(map(key, mined)) == sorted(map(key, declared))
+    assert any(r.pred == "born_on" and r.subj_text == "Ada" for r in mined)
+    # at the default 0.95 threshold born_on is NOT functional -> empty
+    # conflict queue (and the empty-list branch returns a typed empty DF)
+    assert constraints.mined_functional_conflicts(triples).count() == 0
