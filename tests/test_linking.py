@@ -130,3 +130,53 @@ def test_canonicalize_clusters_near_duplicates(spark):
     # deterministic across runs
     rows2 = {r.norm: r.canonical_id for r in linking.canonicalize(mentions, threshold=0.6).collect()}
     assert rows2 == by_norm
+
+
+def test_blocking_quality_gauge(spark):
+    from kgce.operators import linking
+
+    # planted near-dup surface pairs + diverse fillers; permille=1000
+    # keeps the whole vocabulary so the gauge is exactly recomputable
+    rows = []
+    for i, (a, b) in enumerate(
+        [("Acme Corporation", "Acme Corporations"),
+         ("Johnson and Johnson", "Johnson & Johnson"),
+         ("Deep Learning Group", "Deep Learning Groups")]
+    ):
+        rows += [(f"u{i}", a, "org"), (f"u{i}", b, "org")]
+    rows += [(f"f{j}", f"Zq{j}xw{j * 7}", "misc") for j in range(40)]
+    m = spark.createDataFrame(
+        [(u, 0, 0, t, 0, len(t), ty) for u, t, ty in rows],
+        "url string, sent_id long, mention_id long, text string, "
+        "start long, end long, type string",
+    )
+    out = linking.blocking_quality(m, threshold=0.6, sample_permille=1000).collect()[0]
+
+    # recompute every field independently from the building blocks
+    signed = linking.minhash_signatures(linking.entity_vocab(m)).localCheckpoint()
+    k = signed.count()
+    import itertools
+    sh = {r.entity_key: set(r.shingles) for r in signed.collect()}
+    true_pairs = {
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(sh, 2)
+        if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.6
+    }
+    cands = {
+        (r.a, r.b)
+        for r in linking.candidate_pairs_lsh(signed, materialize=False)
+        .select("a", "b").collect()
+    }
+    assert out.n_sampled == k
+    assert out.n_true_pairs == len(true_pairs)
+    assert out.n_candidate_pairs == len(cands)
+    assert out.n_found == len(true_pairs & cands)
+    assert out.pair_completeness == (
+        len(true_pairs & cands) / len(true_pairs) if true_pairs else 1.0
+    )
+    assert out.reduction_ratio == 1.0 - len(cands) / (k * (k - 1) / 2)
+    assert len(true_pairs) >= 2            # planted near-dups are true
+    assert 0.0 < out.reduction_ratio <= 1.0
+    # deterministic gauge: same sample, same numbers, every run
+    again = linking.blocking_quality(m, threshold=0.6, sample_permille=1000).collect()[0]
+    assert out == again
