@@ -106,7 +106,12 @@ def frontier_allowed(
 ) -> DataFrame:
     """Gate frontier URLs through parsed rules: input columns plus an
     ``allowed`` boolean (longest-match, allow wins ties, hosts without
-    matching rules allowed)."""
+    matching rules allowed).
+
+    The longest-match aggregate groups by ALL input columns, so exact
+    duplicate rows collapse to one — a frontier is a distinct URL set by
+    construction (urlnorm.canonical_url_groups upstream); carry a unique
+    id column if duplicate rows must survive."""
     host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1))
     path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
     u = urls.withColumn("_host", host).withColumn(
