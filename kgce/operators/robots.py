@@ -219,3 +219,48 @@ def assign_fetch_rounds(
             ((F.row_number().over(w) - 1) / per_host_budget).cast("long"),
         )
     )
+
+
+def pack_rules(rules: DataFrame) -> DataFrame:
+    """(host, rules: array<struct<allow, path_prefix>>) — the per-host
+    rule set packed once.  Robots files are small, so the array is
+    bounded by the largest single robots.txt; one host-vocabulary-scale
+    groupBy, paid once and reused by every gate pass."""
+    return rules.groupBy("host").agg(
+        F.collect_list(F.struct("allow", "path_prefix")).alias("rules")
+    )
+
+
+def frontier_allowed_packed(
+    urls: DataFrame, packed_rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Shuffle-free (and therefore STREAMING-safe) longest-match gate:
+    one 1:1 left join on host against :func:`pack_rules` output, then a
+    per-row higher-order fold picks the longest matching prefix (allow
+    wins length ties via the struct order).  Equivalent to
+    :func:`frontier_allowed` (pinned by test) but with NO aggregation
+    over the frontier — the frontier side stays a narrow projection, so
+    it composes into a readStream as a stream-static join + map,
+    and at batch scale it removes the frontier-wide shuffle entirely.
+    Duplicate input rows survive (no group-by)."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1))
+    raw_path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    u = urls.withColumn("_host", host)
+    j = u.join(packed_rules.withColumnRenamed("host", "_host"), "_host", "left")
+    path = F.when(raw_path == "", "/").otherwise(raw_path)
+    best = F.aggregate(
+        F.filter(
+            F.coalesce(F.col("rules"), F.array()),
+            lambda r: path.startswith(r["path_prefix"]),
+        ),
+        # init (-1, allow): no matching rule -> allowed by default
+        F.struct(F.lit(-1).alias("l"), F.lit(1).alias("a")),
+        lambda acc, r: F.greatest(
+            acc,
+            F.struct(
+                F.length(r["path_prefix"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        ),
+    )
+    return j.withColumn("allowed", best["a"] == 1).drop("_host", "rules")

@@ -195,3 +195,54 @@ def test_assign_fetch_rounds_budget_and_determinism(spark):
     }
     # round 0 exists for every host; a 7-url host needs 3 rounds
     assert sorted({r.fetch_round for r in out if r.host == "h0.example"}) == [0, 1, 2]
+
+
+def test_frontier_allowed_packed_equals_grouped(spark):
+    rules_df = robots.parse_robots(
+        spark.createDataFrame(FILES, "host string, text string"), agent="kgcebot"
+    )
+    urls_df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    packed = robots.pack_rules(rules_df)
+    got = {
+        r.url: r.allowed
+        for r in robots.frontier_allowed_packed(urls_df, packed).collect()
+    }
+    want = {
+        r.url: r.allowed for r in robots.frontier_allowed(urls_df, rules_df).collect()
+    }
+    assert got == want
+    assert len(got) == len(URLS)
+
+
+def test_frontier_gate_streams(spark, tmp_path):
+    """The packed gate is a stream-static join + narrow fold — applying
+    it to a readStream yields exactly the batch rows (the grouped form
+    cannot stream: it aggregates over the frontier)."""
+    rules_df = robots.parse_robots(
+        spark.createDataFrame(FILES, "host string, text string"), agent="kgcebot"
+    )
+    packed = robots.pack_rules(rules_df)
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("fr_in", "fr_out", "fr_ckpt")
+    )
+    urls_df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    urls_df.write.parquet(in_dir)
+    stream = robots.frontier_allowed_packed(
+        spark.readStream.schema("url string").parquet(in_dir), packed
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish within 300s"
+    got = {
+        (r.url, r.allowed) for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.url, r.allowed)
+        for r in robots.frontier_allowed_packed(urls_df, packed).collect()
+    }
+    assert got == want and len(got) == len(URLS)
