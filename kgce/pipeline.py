@@ -578,3 +578,51 @@ def run_checkpointed(
     materialize.write_nodes(nodes, work_dir)
     materialize.write_edges(edges, work_dir)
     return {"mentions": mentions, "triples": trips, "nodes": nodes, "edges": edges}
+
+
+def next_frontier(
+    pages: DataFrame,
+    robots_txt: DataFrame | None = None,
+    agent: str = "kgcebot",
+    per_host_budget: int | None = None,
+    known_urls: DataFrame | None = None,
+) -> DataFrame:
+    """The crawl-side composition: the next frontier a fetcher works
+    through, built from what this crawl wave discovered.
+
+    href extraction -> RFC-3986 resolution + canonicalization
+    (links.extract_links) -> distinct targets -> drop already-known urls
+    (left-anti against ``known_urls(url)``) -> robots-exclusion gate
+    (the shuffle-free packed form, when ``robots_txt(host, text)`` is
+    supplied) -> optional politeness rounds (``per_host_budget``).
+
+    Returns (url[, host, fetch_round]).  Every stage is a tested
+    operator (test_links / test_robots); this function only fixes the
+    order, the same stance as clean_pages.  Scale notes: the only
+    corpus-sized shuffle is the target distinct; the robots join is 1:1
+    on host against a host-vocabulary table; the politeness window is
+    per-host.
+    """
+    from .operators import links as links_ops
+    from .operators import robots as robots_ops
+
+    urls = (
+        links_ops.extract_links(pages)
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("dst").alias("url"))
+        .distinct()
+    )
+    if known_urls is not None:
+        urls = urls.join(known_urls.select("url"), "url", "left_anti")
+    if robots_txt is not None:
+        packed = robots_ops.pack_rules(
+            robots_ops.parse_robots(robots_txt, agent=agent)
+        )
+        urls = (
+            robots_ops.frontier_allowed_packed(urls, packed)
+            .filter(F.col("allowed"))
+            .drop("allowed")
+        )
+    if per_host_budget is not None:
+        urls = robots_ops.assign_fetch_rounds(urls, per_host_budget)
+    return urls

@@ -246,3 +246,36 @@ def test_frontier_gate_streams(spark, tmp_path):
         for r in robots.frontier_allowed_packed(urls_df, packed).collect()
     }
     assert got == want and len(got) == len(URLS)
+
+
+def test_next_frontier_composition(spark):
+    from kgce import pipeline
+
+    html1 = (
+        b'<a href="http://A.example:80/ok?utm_source=x">fine</a>'
+        b'<a href="http://a.example/private/x">blocked</a>'
+        b'<a href="/rel1">r1</a><a href="/rel2">r2</a><a href="/rel3">r3</a>'
+        b'<a href="#frag">skip</a>'
+    )
+    pages = spark.createDataFrame(
+        [("http://seed.example/", None, html1, "seed", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    robots_txt = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, text string",
+    )
+    known = spark.createDataFrame([("http://seed.example/rel1",)], "url string")
+    out = pipeline.next_frontier(
+        pages, robots_txt=robots_txt, per_host_budget=1, known_urls=known
+    ).collect()
+    urls = {r.url for r in out}
+    # canonicalized (lowercase host, default port + tracking param gone)
+    assert "http://a.example/ok" in urls
+    # robots-blocked and already-known targets are gone; fragment dropped
+    assert not any("/private/" in u for u in urls)
+    assert "http://seed.example/rel1" not in urls
+    assert {"http://seed.example/rel2", "http://seed.example/rel3"} <= urls
+    # politeness: seed.example has 2 surviving urls, budget 1 -> 2 rounds
+    rounds = sorted(r.fetch_round for r in out if r.host == "seed.example")
+    assert rounds == [0, 1]
