@@ -395,3 +395,36 @@ def test_k_core_peels_cascading_chain(spark):
     got = {(r.lo, r.hi) for r in graph.k_core(df, 2).collect()}
     assert got == {(0, 1), (1, 2), (0, 2)}
     assert graph.k_core(df, 3).count() == 0  # triangle is 2-core max
+
+
+def test_new_operators_empty_inputs(spark):
+    """Every round-5 operator degrades to an empty (or default) result on
+    empty input instead of raising."""
+    from kgce.operators import coref, linking, robots
+
+    empty_kg = spark.createDataFrame([], "subj_id long, pred string, obj_id long")
+    assert rules.mine_chain_rules(empty_kg).count() == 0
+    assert rules.mine_implication_rules(empty_kg).count() == 0
+    assert rules.predicate_synonym_pairs(empty_kg).count() == 0
+
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    assert graph.label_propagation(empty_edges, iterations=2).count() == 0
+    assert graph.k_core(empty_edges, 2).count() == 0
+
+    empty_mentions = spark.createDataFrame(
+        [],
+        "url string, sent_id long, mention_id long, text string, "
+        "start long, end long, type string",
+    )
+    assert coref.suffix_alias_pairs(empty_mentions).count() == 0
+    assert coref.sense_split(empty_mentions).count() == 0
+    bq = linking.blocking_quality(empty_mentions).collect()[0]
+    assert bq.n_sampled == 0 and bq.pair_completeness == 1.0
+
+    empty_robots = spark.createDataFrame([], "host string, text string")
+    assert robots.parse_robots(empty_robots).count() == 0
+    urls = spark.createDataFrame([("http://x.example/a",)], "url string")
+    gated = robots.frontier_allowed_packed(
+        urls, robots.pack_rules(robots.parse_robots(empty_robots))
+    ).collect()
+    assert [r.allowed for r in gated] == [True]
