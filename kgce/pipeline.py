@@ -586,6 +586,7 @@ def next_frontier(
     agent: str = "kgcebot",
     per_host_budget: int | None = None,
     known_urls: DataFrame | None = None,
+    host_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """The crawl-side composition: the next frontier a fetcher works
     through, built from what this crawl wave discovered.
@@ -596,12 +597,17 @@ def next_frontier(
     (the shuffle-free packed form, when ``robots_txt(host, text)`` is
     supplied) -> optional politeness rounds (``per_host_budget``).
 
-    Returns (url[, host, fetch_round]).  Every stage is a tested
-    operator (test_links / test_robots); this function only fixes the
-    order, the same stance as clean_pages.  Scale notes: the only
-    corpus-sized shuffle is the target distinct; the robots join is 1:1
-    on host against a host-vocabulary table; the politeness window is
-    per-host.
+    Returns (url[, host, fetch_round][, host_rank]).  ``host_ranks``
+    ((node, rank) — links.pagerank over the host graph) attaches the
+    crawl-scheduler priority: within a fetch round the scheduler works
+    hosts in descending authority, the standard frontier ordering.
+    Unknown hosts get rank 0.0 (crawl them last, not never).
+
+    Every stage is a tested operator (test_links / test_robots); this
+    function only fixes the order, the same stance as clean_pages.
+    Scale notes: the only corpus-sized shuffle is the target distinct;
+    the robots and rank joins are 1:1 on host against host-vocabulary
+    tables; the politeness window is per-host.
     """
     from .operators import links as links_ops
     from .operators import robots as robots_ops
@@ -625,4 +631,16 @@ def next_frontier(
         )
     if per_host_budget is not None:
         urls = robots_ops.assign_fetch_rounds(urls, per_host_budget)
+    if host_ranks is not None:
+        if "host" not in urls.columns:
+            urls = urls.withColumn(
+                "host",
+                F.lower(F.regexp_extract(F.col("url"), r"^[a-z]+://([^/?#]+)", 1)),
+            )
+        ranks = host_ranks.select(
+            F.col("node").alias("host"), F.col("rank").alias("host_rank")
+        )
+        urls = urls.join(ranks, "host", "left").withColumn(
+            "host_rank", F.coalesce(F.col("host_rank"), F.lit(0.0))
+        )
     return urls

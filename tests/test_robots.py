@@ -279,3 +279,27 @@ def test_next_frontier_composition(spark):
     # politeness: seed.example has 2 surviving urls, budget 1 -> 2 rounds
     rounds = sorted(r.fetch_round for r in out if r.host == "seed.example")
     assert rounds == [0, 1]
+
+
+def test_next_frontier_host_rank_priority(spark):
+    from kgce import pipeline
+
+    html = (
+        b'<a href="http://big.example/a">x</a>'
+        b'<a href="http://tiny.example/b">y</a>'
+        b'<a href="http://unknown.example/c">z</a>'
+    )
+    pages = spark.createDataFrame(
+        [("http://seed.example/", None, html, "seed", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    ranks = spark.createDataFrame(
+        [("big.example", 0.7), ("tiny.example", 0.1)], "node string, rank double"
+    )
+    out = {
+        r.url: r.host_rank
+        for r in pipeline.next_frontier(pages, host_ranks=ranks).collect()
+    }
+    assert out["http://big.example/a"] == 0.7
+    assert out["http://tiny.example/b"] == 0.1
+    assert out["http://unknown.example/c"] == 0.0  # unknown host -> last, not never
