@@ -418,6 +418,7 @@ def run(
     structured: bool = False,
     embed: dict | None = None,
     aliases: dict | None = None,
+    infer: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Uncheckpointed single-job run (tests, small corpora).  ``clean``
     (kwargs for :func:`clean_pages`) enables the hygiene pre-pass;
@@ -435,7 +436,13 @@ def run(
     ``{"min_docs": 2, "match_type": False}``) unions intra-document
     acronym/suffix alias edges into the canonicalization CC — the
     CLEANED pages supply the acronym-definition scan, so
-    hygiene-dropped spam never defines an alias."""
+    hygiene-dropped spam never defines an alias; ``infer`` (kwargs for
+    :func:`operators.rules.infer_chain_facts`, e.g.
+    ``{"min_pca_confidence": 0.9, "min_support": 3}``) mines chain
+    rules over the final edge set and adds an ``inferred`` DataFrame of
+    NEW (subj_id, pred, obj_id, confidence, n_rules) facts to the
+    output — the Knowledge-Vault promotion loop; inferred facts are
+    returned for curation, never silently merged into ``edges``."""
     if clean is not None:
         pages = clean_pages(pages, **clean)
     # mentions feed THREE consumers (triple chain, linking vocabulary,
@@ -471,12 +478,27 @@ def run(
         # UNHINTED left join: the vector table is entity-vocabulary-scale
         # (same order as nodes itself) — AQE picks the strategy
         nodes = nodes.join(vecs, "canonical_id", "left")
-    return {
+    out = {
         "mentions": mentions,
         "triples": trips,
         "nodes": nodes,
         "edges": edges,
     }
+    if infer is not None:
+        from .operators import rules as rules_ops
+
+        mine_kw = {
+            k: v for k, v in infer.items() if k in ("min_support", "max_mid_degree")
+        }
+        apply_kw = {
+            k: v
+            for k, v in infer.items()
+            if k in ("min_pca_confidence", "max_mid_degree")
+        }
+        mined = rules_ops.mine_chain_rules(edges, **mine_kw)
+        out["rules"] = mined
+        out["inferred"] = rules_ops.infer_chain_facts(edges, mined, **apply_kw)
+    return out
 
 
 def run_checkpointed(

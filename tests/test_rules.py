@@ -428,3 +428,33 @@ def test_new_operators_empty_inputs(spark):
         urls, robots.pack_rules(robots.parse_robots(empty_robots))
     ).collect()
     assert [r.allowed for r in gated] == [True]
+
+
+def test_pipeline_composes_rule_inference(spark):
+    from kgce import pipeline, schemas, synth
+
+    pages = spark.createDataFrame(synth.gen_pages(40, seed=77), schema=schemas.PAGES)
+    out = pipeline.run(
+        pages, infer={"min_support": 2, "min_pca_confidence": 0.5}
+    )
+    assert "rules" in out and "inferred" in out
+    # composition parity: same result as calling the operators directly
+    edges = out["edges"]
+    mined = rules.mine_chain_rules(edges, min_support=2)
+    want = {
+        (r.subj_id, r.pred, r.obj_id): (r.confidence, r.n_rules)
+        for r in rules.infer_chain_facts(
+            edges, mined, min_pca_confidence=0.5
+        ).collect()
+    }
+    got = {
+        (r.subj_id, r.pred, r.obj_id): (r.confidence, r.n_rules)
+        for r in out["inferred"].collect()
+    }
+    assert got == want
+    # inferred facts are NEW: none exist in the edge set
+    existing = {
+        (r.subj_id, r.pred, r.obj_id)
+        for r in edges.select("subj_id", "pred", "obj_id").collect()
+    }
+    assert not set(got) & existing
