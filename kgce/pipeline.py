@@ -511,12 +511,20 @@ def run_checkpointed(
     clean: dict | None = None,
     provenance_k: int | None = None,
     structured: bool = False,
+    embed: dict | None = None,
+    aliases: dict | None = None,
+    infer: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Resumable run: mention extraction and triple aggregation land under
     ``work_dir`` with per-bucket manifests (kill/re-run safe).
     ``provenance_k`` carries a bounded top-k ``evidence_urls`` column
     through triples into the edges table (single-pass aggregation over
     the checkpointed scored pairs — no extra corpus scan).
+    ``embed``/``aliases``/``infer`` mirror :func:`run`; the alias-aware
+    canonicalization replaces the same resumable "canon" global stage
+    (its manifest keys the whole cleaned corpus, so a resumed run reuses
+    it byte-identically), TransE training checkpoints per epoch
+    internally, and inference reads the materialized edge table.
 
     ``salt_hot_domains`` pre-spreads Zipf-skewed crawls: pages are
     repartitioned by (domain, xxhash64(url) % n_salt) before the UDF
@@ -563,11 +571,23 @@ def run_checkpointed(
         trips = triples_ops.aggregate_triples_with_provenance(scored, k=provenance_k)
     else:
         trips = triples_ops.aggregate_triples(scored)
-    canon = runner.run_global(
-        "canon",
-        lambda: linking.canonicalize(mentions, threshold=link_threshold),
-        config={"threshold": link_threshold},
-    )
+    if aliases is not None:
+        from .operators import coref
+
+        alias_pages = pages
+        canon = runner.run_global(
+            "canon",
+            lambda: coref.canonicalize_with_aliases(
+                mentions, alias_pages, threshold=link_threshold, **aliases
+            ),
+            config={"threshold": link_threshold, "aliases": sorted(aliases.items())},
+        )
+    else:
+        canon = runner.run_global(
+            "canon",
+            lambda: linking.canonicalize(mentions, threshold=link_threshold),
+            config={"threshold": link_threshold},
+        )
     canon_map = canon.select("norm", "canonical_id")
     # unhinted for the same reason as canonical_triples: the canonical map
     # can outgrow any broadcast limit at crawl scale, and a hint would
@@ -597,9 +617,33 @@ def run_checkpointed(
         )
     nodes = materialize.build_nodes(canon, mentions)
     edges = materialize.build_edges(trips)
+    if embed is not None:
+        from .operators.kgembed import entity_vectors_for_ann, train_transe
+
+        ent_emb, _rel_emb, _losses = train_transe(edges, **embed)
+        vecs = entity_vectors_for_ann(ent_emb).withColumnRenamed("id", "canonical_id")
+        nodes = nodes.join(vecs, "canonical_id", "left")
     materialize.write_nodes(nodes, work_dir)
     materialize.write_edges(edges, work_dir)
-    return {"mentions": mentions, "triples": trips, "nodes": nodes, "edges": edges}
+    out = {"mentions": mentions, "triples": trips, "nodes": nodes, "edges": edges}
+    if infer is not None:
+        from .operators import rules as rules_ops
+
+        mined = rules_ops.mine_chain_rules(
+            edges,
+            **{k: v for k, v in infer.items() if k in ("min_support", "max_mid_degree")},
+        )
+        out["rules"] = mined
+        out["inferred"] = rules_ops.infer_chain_facts(
+            edges,
+            mined,
+            **{
+                k: v
+                for k, v in infer.items()
+                if k in ("min_pca_confidence", "max_mid_degree")
+            },
+        )
+    return out
 
 
 def next_frontier(

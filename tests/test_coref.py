@@ -249,3 +249,46 @@ def test_sense_split_partitions_match_union_find(spark):
     assert frozenset({"c1", "c2"}) in paris         # separate sense
     assert frozenset({"i1"}) in paris               # isolated own sense
     assert len(paris) == 3
+
+
+def test_run_checkpointed_alias_and_infer_options(spark, tmp_path):
+    from kgce import pipeline, schemas
+
+    texts = [
+        "Barack Obama visited Geneva and later Obama spoke.",
+        "United Nations (UN) met. People praised the United Nations"
+        " today and the UN agreed.",
+    ]
+    pages = spark.createDataFrame(
+        [(f"http://a{i}.example/", None, None, t, "en") for i, t in enumerate(texts)],
+        schema=schemas.PAGES,
+    )
+    wd = str(tmp_path / "ck")
+    out = pipeline.run_checkpointed(
+        pages,
+        wd,
+        n_buckets=2,
+        aliases={"min_docs": 1, "match_type": False},
+        infer={"min_support": 1, "min_pca_confidence": 0.5},
+    )
+    nodes = {r.canonical_text: set(r.aliases) for r in out["nodes"].collect()}
+    assert {"barack obama", "obama"} <= nodes["barack obama"]
+    assert {"un", "united nations"} <= nodes["un"]
+    assert "inferred" in out and "rules" in out
+    inferred1 = {
+        (r.subj_id, r.pred, r.obj_id) for r in out["inferred"].collect()
+    }
+    # resume: a second run reuses the cached alias-aware canon stage and
+    # reproduces the same outputs byte-for-byte
+    out2 = pipeline.run_checkpointed(
+        pages,
+        wd,
+        n_buckets=2,
+        aliases={"min_docs": 1, "match_type": False},
+        infer={"min_support": 1, "min_pca_confidence": 0.5},
+    )
+    nodes2 = {r.canonical_text: set(r.aliases) for r in out2["nodes"].collect()}
+    assert nodes2 == nodes
+    assert {
+        (r.subj_id, r.pred, r.obj_id) for r in out2["inferred"].collect()
+    } == inferred1
