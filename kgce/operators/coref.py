@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .linking import normalize_text
+from .linking import _checkpoint, normalize_text
 
 # RE2-safe (no backrefs/lookaround): capitalized multi-word name followed
 # by a parenthesized all-caps token.  Java and RE2 agree on this subset.
@@ -102,9 +102,15 @@ def suffix_alias_pairs(
     never share a type); keep it True for model taggers.
     """
     keys = ["url", "type", "alias_norm"] if match_type else ["url", "alias_norm"]
-    surfaces = mentions.select(
-        "url", "type", normalize_text(F.col("text")).alias("norm")
-    ).distinct()
+    # the singles/multis fork consumes this table twice; when mentions is
+    # an unmaterialized UDF plan each side would re-run the tagger (the
+    # CLAUDE.md multi-consumer trap) — materialize the distinct-surfaces
+    # projection once
+    surfaces = _checkpoint(
+        mentions.select(
+            "url", "type", normalize_text(F.col("text")).alias("norm")
+        ).distinct()
+    )
     toks = F.split(F.col("norm"), " ")
     singles = surfaces.filter(
         (F.size(toks) == 1) & (F.length("norm") >= min_alias_len)
@@ -217,9 +223,13 @@ def sense_split(mentions: DataFrame) -> DataFrame:
     """
     from .linking import connected_components
 
-    surf = mentions.select(
-        "url", normalize_text(F.col("text")).alias("norm")
-    ).filter(F.length("norm") > 0).distinct()
+    # three consumers (both self-join sides + the keyed output join) —
+    # materialize once so a UDF-derived mentions plan never re-runs
+    surf = _checkpoint(
+        mentions.select("url", normalize_text(F.col("text")).alias("norm"))
+        .filter(F.length("norm") > 0)
+        .distinct()
+    )
     s, c = surf.alias("s"), surf.alias("c")
     pairs = (
         s.join(c, F.col("s.url") == F.col("c.url"))
