@@ -23,7 +23,15 @@ divisions (bit-identical across engines):
                        edge (AMIE's partial-completeness-assumption
                        denominator: under open-world data a missing
                        head fact is only counted against the rule when
-                       the subject is known to be covered at all);
+                       the subject is known to be covered at all).
+                       Simplification, documented: full AMIE picks the
+                       PCA direction by the head predicate's higher
+                       functionality (subject- vs object-side); this
+                       implementation always uses the SUBJECT direction
+                       — the right default for web extraction, where
+                       subject functionality dominates (and
+                       constraints.predicate_profile supplies both
+                       functionalities when a caller wants to gate);
 * ``confidence = support / body_count``,
   ``head_coverage = support / head_size``,
   ``pca_confidence = support / pca_body_count``.
