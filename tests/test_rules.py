@@ -14,7 +14,9 @@ from kgce.operators import graph, rules
 # ---------------------------------------------------------------- oracles
 
 
-def _chain_rules_oracle(facts, min_support, min_confidence, cap):
+def _chain_rules_oracle(
+    facts, min_support, min_confidence, cap, pca_direction="subject"
+):
     """Nested-loop AMIE chain mining with the (z, pred) degree cap."""
     facts = sorted(set(facts))
     in_fan = Counter((o, p) for s, p, o in facts)
@@ -29,16 +31,26 @@ def _chain_rules_oracle(facts, min_support, min_confidence, cap):
     body_count = Counter((p1, p2) for p1, p2, _, _ in body)
     head_pairs = defaultdict(set)
     head_subjects = defaultdict(set)
+    head_objects = defaultdict(set)
     for s, p, o in facts:
         head_pairs[p].add((s, o))
         head_subjects[p].add(s)
+        head_objects[p].add(o)
+    subj_side = {
+        p: len(head_subjects[p]) >= len(head_objects[p]) for p in head_pairs
+    }
     out = {}
     for (p1, p2, x, y), head in itertools.product(body, head_pairs):
         key = (p1, p2, head)
         sup, pca = out.get(key, (0, 0))
         if (x, y) in head_pairs[head]:
             sup += 1
-        if x in head_subjects[head]:
+        covered = (
+            x in head_subjects[head]
+            if (pca_direction == "subject" or subj_side[head])
+            else y in head_objects[head]
+        )
+        if covered:
             pca += 1
         out[key] = (sup, pca)
     result = {}
@@ -458,3 +470,51 @@ def test_pipeline_composes_rule_inference(spark):
         for r in edges.select("subj_id", "pred", "obj_id").collect()
     }
     assert not set(got) & existing
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chain_rules_auto_pca_direction(spark, seed):
+    facts = _random_facts(seed)
+    got = {
+        (r.p1, r.p2, r.head): (r.pca_body_count, r.pca_confidence)
+        for r in rules.mine_chain_rules(
+            _kg(spark, facts), min_support=2, pca_direction="auto"
+        ).collect()
+    }
+    want = {
+        k: (v[3], v[6])
+        for k, v in _chain_rules_oracle(facts, 2, 0.0, 1000, "auto").items()
+    }
+    assert got == want
+
+
+def test_auto_pca_picks_object_side_for_inverse_functional_head(spark):
+    # head 'tag': ONE subject (1) fans out to six objects — functionality
+    # 1/6 << inverse functionality 1.0, so auto-PCA must count OBJECT
+    # coverage.  Body pairs are (1,21), (2,22), (3,23); tag covers
+    # objects {21, 22, ...} -> object-side pca = 2, while subject-side
+    # pca = 1 (only x=1 has a tag edge) — the two directions provably
+    # differ on this fixture.
+    facts = (
+        [(i, "a", 10 + i) for i in (1, 2, 3)]          # body left: x-a->z
+        + [(10 + i, "b", 20 + i) for i in (1, 2, 3)]   # body right: z-b->y
+        + [(1, "tag", 21), (1, "tag", 22)]             # support pair + extra obj
+        + [(1, "tag", 40 + i) for i in range(4)]       # more objects, same subj
+    )
+    df = _kg(spark, facts)
+    subj = {
+        (r.p1, r.p2, r.head): r.pca_body_count
+        for r in rules.mine_chain_rules(df, min_support=1).collect()
+    }
+    auto = {
+        (r.p1, r.p2, r.head): r.pca_body_count
+        for r in rules.mine_chain_rules(
+            df, min_support=1, pca_direction="auto"
+        ).collect()
+    }
+    assert subj[("a", "b", "tag")] == 1   # only x=1 is tag-covered
+    assert auto[("a", "b", "tag")] == 2   # y in {21, 22} are tag-covered
+    assert auto == {
+        k: v[3]
+        for k, v in _chain_rules_oracle(facts, 1, 0.0, 1000, "auto").items()
+    }
