@@ -103,7 +103,11 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
 
 
 def label_propagation(
-    edges: DataFrame, a: str = "a", b: str = "b", iterations: int = 5
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    iterations: int = 5,
+    weight: str | None = None,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan
     et al. 2007): every node starts in its own community, then for a
@@ -137,17 +141,44 @@ def label_propagation(
     between two labelings on bipartite-ish regions, so convergence is
     not a stopping rule at scale — K rounds is (K passes being the
     documented bound, matching how production systems run it).
+
+    ``weight``: optional edge-weight column (e.g. co-occurrence counts)
+    — the plurality becomes weight-sum plurality; parallel edges sum
+    (the natural multigraph semantics), self-loops still drop, and the
+    tie-break stays the smallest label.  Weights must be integers for
+    cross-engine exactness (the co-occurrence counts are).
     """
-    e = _checkpoint(canonical_edges(edges, a, b))
-    sym = e.unionAll(e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi")))
-    sym = sym.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")).persist()
+    if weight is None:
+        e = _checkpoint(canonical_edges(edges, a, b))
+        sym = e.unionAll(e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi")))
+        sym = sym.select(
+            F.col("lo").alias("node"), F.col("hi").alias("nbr"), F.lit(1).alias("w")
+        ).persist()
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(a), F.col(b)).alias("lo"),
+                F.greatest(F.col(a), F.col(b)).alias("hi"),
+                F.col(weight).alias("w"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .groupBy("lo", "hi")
+            .agg(F.sum("w").alias("w"))
+        )
+        und = _checkpoint(und)
+        sym = und.unionAll(
+            und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"), "w")
+        )
+        sym = sym.select(
+            F.col("lo").alias("node"), F.col("hi").alias("nbr"), "w"
+        ).persist()
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(iterations):
         nbr_labels = sym.join(
             labels.select(F.col("node").alias("nbr"), "label"), "nbr"
         )
-        counted = nbr_labels.groupBy("node", "label").agg(F.count("*").alias("n"))
+        counted = nbr_labels.groupBy("node", "label").agg(F.sum("w").alias("n"))
         best = counted.groupBy("node").agg(
             F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("label"))).alias("_b")
         )
@@ -199,3 +230,80 @@ def k_core(edges: DataFrame, k: int, a: str = "a", b: str = "b") -> DataFrame:
             return nxt
         e, n_edges = nxt, n_next
     return e
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    weight: str | None = None,
+) -> DataFrame:
+    """Newman modularity of a community assignment — the standard gauge
+    for ``label_propagation`` output quality (Q near 0: no better than
+    random; common real-graph partitions land 0.3-0.7).  One row:
+    (n_communities, n_edges, total_weight, modularity) with
+
+        Q = sum_c [ m_c / m  -  (d_c / 2m)^2 ]
+
+    over the undirected (weight-collapsed) graph: ``m`` total edge
+    weight, ``m_c`` intra-community weight, ``d_c`` the community's
+    weighted degree sum.
+
+    Scale shape: two label joins + three count/sum aggregates; the
+    per-community term table stays distributed and folds into the final
+    scalar with one agg — no community-count-sized collect.  The one
+    driver-side scalar is ``m`` (a bounded ``first()``, the pagerank
+    dangling-mass discipline), folded back as a plan literal.
+    """
+    if weight is None:
+        und = canonical_edges(edges, a, b).withColumn("w", F.lit(1).cast("long"))
+    else:
+        und = (
+            edges.select(
+                F.least(F.col(a), F.col(b)).alias("lo"),
+                F.greatest(F.col(a), F.col(b)).alias("hi"),
+                F.col(weight).alias("w"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .groupBy("lo", "hi")
+            .agg(F.sum("w").alias("w"))
+        )
+    und = _checkpoint(und)
+    m = und.agg(F.sum("w").alias("m")).first()["m"]
+    if not m:
+        return edges.sparkSession.createDataFrame(
+            [(0, 0, 0, 0.0)],
+            "n_communities long, n_edges long, total_weight long, modularity double",
+        )
+    lab = labels.select(F.col("node"), F.col("label"))
+    deg = (
+        und.select(F.col("lo").alias("node"), "w")
+        .unionAll(und.select(F.col("hi").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("d"))
+    )
+    d_c = deg.join(lab, "node").groupBy("label").agg(F.sum("d").alias("d_c"))
+    intra = (
+        und.join(lab.select(F.col("node").alias("lo"), F.col("label").alias("_l1")), "lo")
+        .join(lab.select(F.col("node").alias("hi"), F.col("label").alias("_l2")), "hi")
+        .filter(F.col("_l1") == F.col("_l2"))
+        .groupBy(F.col("_l1").alias("label"))
+        .agg(F.sum("w").alias("m_c"))
+    )
+    terms = d_c.join(intra, "label", "left").select(
+        "label",
+        (
+            F.coalesce(F.col("m_c"), F.lit(0)) / F.lit(float(m))
+            - (F.col("d_c") / F.lit(2.0 * m)) * (F.col("d_c") / F.lit(2.0 * m))
+        ).alias("_q"),
+    )
+    stats = und.agg(
+        F.count("*").alias("n_edges"), F.sum("w").alias("total_weight")
+    )
+    q = terms.agg(
+        F.count("*").alias("n_communities"), F.sum("_q").alias("modularity")
+    )
+    return q.crossJoin(stats).select(
+        "n_communities", "n_edges", "total_weight", "modularity"
+    )

@@ -518,3 +518,107 @@ def test_auto_pca_picks_object_side_for_inverse_functional_head(spark):
         k: v[3]
         for k, v in _chain_rules_oracle(facts, 1, 0.0, 1000, "auto").items()
     }
+
+
+def _weighted_lpa_oracle(wedges, iterations):
+    """Synchronous weighted LPA: weight-sum plurality, smallest label ties;
+    parallel (and both-orientation) edges sum."""
+    w = defaultdict(int)
+    for a, b, wt in wedges:
+        if a != b:
+            w[(min(a, b), max(a, b))] += wt
+    nbrs = defaultdict(dict)
+    for (a, b), wt in w.items():
+        nbrs[a][b] = wt
+        nbrs[b][a] = wt
+    labels = {n: n for n in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for n in labels:
+            acc = defaultdict(int)
+            for m, wt in nbrs[n].items():
+                acc[labels[m]] += wt
+            new[n] = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("seed,iters", [(0, 2), (1, 4)])
+def test_weighted_label_propagation_matches_oracle(spark, seed, iters):
+    rng = random.Random(seed)
+    wedges = [
+        (rng.randrange(12), rng.randrange(12), rng.randint(1, 5))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(wedges, "a long, b long, w long")
+    got = {
+        r.node: r.label
+        for r in graph.label_propagation(df, iterations=iters, weight="w").collect()
+    }
+    assert got == _weighted_lpa_oracle(wedges, iters)
+
+
+def test_weighted_lpa_weight_decides_plurality(spark):
+    # node 0 has two light edges into community A and one heavy edge to B
+    df = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (0, 3, 5), (1, 2, 5)], "a long, b long, w long"
+    )
+    got = {
+        r.node: r.label
+        for r in graph.label_propagation(df, iterations=1, weight="w").collect()
+    }
+    assert got[0] == 3  # weight 5 beats 1+1... per-label: {1:1, 2:1, 3:5}
+    unweighted = {
+        r.node: r.label
+        for r in graph.label_propagation(df, iterations=1).collect()
+    }
+    assert unweighted[0] == 1  # counts tie 1/1/1 -> smallest label
+
+
+def _modularity_oracle(wedges, labels):
+    w = defaultdict(int)
+    for a, b, wt in wedges:
+        if a != b:
+            w[(min(a, b), max(a, b))] += wt
+    m = sum(w.values())
+    deg = defaultdict(int)
+    intra = defaultdict(int)
+    dc = defaultdict(int)
+    for (a, b), wt in w.items():
+        deg[a] += wt
+        deg[b] += wt
+        if labels[a] == labels[b]:
+            intra[labels[a]] += wt
+    for n, d in deg.items():
+        dc[labels[n]] += d
+    return sum(intra[c] / m - (dc[c] / (2 * m)) ** 2 for c in dc)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_modularity_matches_formula(spark, seed):
+    rng = random.Random(seed)
+    wedges = [
+        (rng.randrange(10), rng.randrange(10), rng.randint(1, 4))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(wedges, "a long, b long, w long")
+    labels = graph.label_propagation(df, iterations=3, weight="w")
+    row = graph.modularity(df, labels, weight="w").collect()[0]
+    lab = {r.node: r.label for r in labels.collect()}
+    want = _modularity_oracle(wedges, lab)
+    assert abs(row.modularity - want) < 1e-12
+    assert row.n_communities == len(set(lab.values()))
+
+
+def test_modularity_two_cliques(spark):
+    cl1 = [(a, b, 1) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b, 1) for a in range(10, 14) for b in range(10, 14) if a < b]
+    df = spark.createDataFrame(cl1 + cl2 + [(3, 10, 1)], "a long, b long, w long")
+    labels = graph.label_propagation(df, iterations=5)
+    row = graph.modularity(df, labels).collect()[0]
+    assert row.n_communities == 2 and row.modularity > 0.4
+    # degenerate: everyone in one community -> Q == 0 exactly
+    from pyspark.sql import functions as F
+
+    one = labels.withColumn("label", F.lit(0))
+    assert abs(graph.modularity(df, one).collect()[0].modularity) < 1e-12
