@@ -182,9 +182,7 @@ def canonicalize_with_aliases(
     signed = linking._checkpoint(
         linking.minhash_signatures(linking.entity_vocab(mentions))
     )
-    fuzzy = linking.verified_edges(
-        linking.candidate_pairs_lsh(signed, materialize=False), threshold
-    ).select("a", "b")
+    fuzzy = linking.verified_pairs(signed, threshold).select("a", "b")
     structural = alias_edges(
         mentions, pages, min_docs=min_docs, match_type=match_type
     ).select("a", "b")

@@ -47,16 +47,40 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
+def _gram_array(words: "F.Column", n: int) -> "F.Column":
+    """Word n-grams of a words array, one per start position (k =
+    max(size - n + 1, 1); when the doc has < n words the single gram is
+    the whole doc).
+
+    Shape matters: a ``transform(sequence(0, k-1), i -> array_join(
+    slice(words, i+1, n)))`` lambda re-evaluates the ``words``
+    expression tree — the regexp normalize + split of the WHOLE
+    document — once per element (HOF lambdas are interpreted and inline
+    free outer expressions; the CLAUDE.md HOF cost model), making the
+    gram build O(words²·len).  Zipping ``words`` with its n-1 shifted
+    copies instead references ``words`` only O(n) times per ROW (and
+    those non-lambda references are subexpression-eliminated), and the
+    per-element lambda touches nothing but its own struct: O(words·n).
+    Measured 6.8x (n=3) / 3x (n=8) on the sf1.0 corpus, byte-identical
+    output (arrays_zip pads the shifted copies with NULL at the tail;
+    concat_ws skips NULLs exactly like array_join of the shorter
+    slice)."""
+    sz = F.size(words)
+    parts = [
+        (words if i == 0 else F.slice(words, i + 1, sz)).alias(f"w{i}")
+        for i in range(n)
+    ]
+    grams = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]),
+    )
+    k = F.greatest(sz - (n - 1), F.lit(1))
+    return F.slice(grams, 1, k)
+
+
 def word_shingles(col, n: int = 3) -> "F.Column":
     """Distinct word n-grams (space-joined) of a text column."""
-    words = F.split(normalize_doc(col), " ")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )
-    )
+    return F.array_distinct(_gram_array(F.split(normalize_doc(col), " "), n))
 
 
 def ngram_jaccard_pairs(
@@ -102,8 +126,10 @@ def ngram_jaccard_pairs(
         full = docs.select(
             F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
         )
+        # |A∪B| = |A| + |B| - |A∩B| (exact: word_shingles is distinct) —
+        # one set operation per pair instead of two
         inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
-        union = F.size(F.array_union("_sha", "_shb")).cast("double")
+        union = (F.size("_sha") + F.size("_shb")).cast("double") - inter
         return (
             cands.join(full.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha")), "a")
             .join(full.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb")), "b")

@@ -153,10 +153,99 @@ def candidate_pairs_lsh(
     ).select("a", "b", "norm_a", "norm_b", "sh_a", "sh_b")
 
 
+def verified_pairs(
+    signed: DataFrame,
+    threshold: float = 0.6,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """``verified_edges(candidate_pairs_lsh(signed), threshold)`` with
+    the SAME output, restructured for the per-pair hot loop (the LSH
+    self-join emits 12M candidate pairs from a 15k vocabulary at sf1.0
+    and only ~11% survive the Jaccard filter):
+
+    * candidates attach an xxhash64-per-shingle LONG array first and a
+      hash-Jaccard prefilter drops the ~89% non-edges on cheap 8-byte
+      comparisons.  The prefilter is PROVABLY conservative regardless
+      of hash collisions: a collision can only inflate the hashed
+      intersection and shrink the hashed sizes, so
+      hash-Jaccard >= true Jaccard always — no true edge is dropped
+      (a false survivor is killed by the exact pass below);
+    * only surviving pairs attach the string shingle arrays for the
+      exact verify, and ``norm`` — which no edge consumer reads — never
+      attaches at all;
+    * |A∪B| is |A| + |B| - |A∩B| on both passes (arrays are distinct
+      by construction).
+
+    ``signed`` must be materialized (the caller checkpoints it — same
+    contract as ``candidate_pairs_lsh(materialize=False)``).
+    """
+    rows = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.xxhash64(
+                F.slice("signature", i * rows + 1, rows).cast("string"),
+                F.lit(1000 + i),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = signed.select("entity_key", F.explode(band_cols).alias("band"))
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band")
+        )
+        banded = banded.join(small, "band")
+    a = banded.select("band", F.col("entity_key").alias("a"))
+    b = banded.select("band", F.col("entity_key").alias("b"))
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    hashed = signed.select(
+        "entity_key",
+        F.array_distinct(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("_hs"),
+    )
+    pre = pairs.join(
+        hashed.select(F.col("entity_key").alias("a"), F.col("_hs").alias("_ha")), "a"
+    ).join(
+        hashed.select(F.col("entity_key").alias("b"), F.col("_hs").alias("_hb")), "b"
+    )
+    hinter = F.size(F.array_intersect("_ha", "_hb")).cast("double")
+    hunion = (F.size("_ha") + F.size("_hb")).cast("double") - hinter
+    # epsilon absorbs the one-ulp division rounding at the threshold
+    # boundary; any extra survivor dies in the exact pass
+    survivors = pre.filter(
+        hinter / hunion >= F.lit(threshold) - F.lit(1e-9)
+    ).select("a", "b")
+    payload = signed.select("entity_key", "shingles")
+    exact = survivors.join(
+        payload.select(F.col("entity_key").alias("a"), F.col("shingles").alias("sh_a")),
+        "a",
+    ).join(
+        payload.select(F.col("entity_key").alias("b"), F.col("shingles").alias("sh_b")),
+        "b",
+    )
+    return verified_edges(exact, threshold)
+
+
 def verified_edges(cands: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Exact Jaccard verification of LSH candidates (no false positives)."""
+    """Exact Jaccard verification of LSH candidates (no false positives).
+
+    |A∪B| is computed arithmetically as |A| + |B| - |A∩B| — exact
+    because shingle arrays are array_distinct by construction — so each
+    candidate pair pays ONE set operation instead of two (the verify
+    stage is the per-pair hot loop: 12M candidate pairs at sf1.0)."""
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         cands.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -173,18 +262,26 @@ def connected_components(
     Input: undirected edges (a, b) over long node ids.
     Output: (node, component) with component = min node id in component.
 
-    Adaptivity: ONE ``limit(threshold + 1)`` probe job both decides the
-    path and, on small graphs, fetches the full deduped edge list for a
-    driver-side union-find — at that size the distributed loop is pure
-    scheduling overhead (each round is 2 jobs over kilobytes), and the
-    probe terminates early on big graphs.  Entity-linking edge sets over
-    a VOCABULARY shrink fast; production web-scale runs with billions of
-    edges take the iterative path (dedup + reliable checkpoint first): two groupBy/shuffle rounds per iteration, each
-    checkpointed to cut the exponentially-growing lineage (the reference
-    analog is its epoch-loop checkpointing, task.py:135-151).  With a
-    configured checkpoint dir the cut is RELIABLE (executor loss cannot
-    kill the truncated lineage); otherwise localCheckpoint.  Pass
-    ``small_graph_threshold=0`` to force the distributed loop.
+    Adaptivity: the deduped edge set is checkpointed ONCE, then a count
+    over the materialized blocks decides the path — small graphs fetch
+    the edges through the Arrow collect path for a driver-side
+    union-find (at that size the distributed loop is pure scheduling
+    overhead: each round is 2 jobs over kilobytes); big graphs iterate
+    from the same checkpoint.  (The previous ``limit(T+1).collect()``
+    probe was one job, but on a graph that CROSSED the threshold it
+    py4j-collected T+1 Row objects only to throw them away AND left the
+    upstream LSH+Jaccard chain to re-execute for the loop's own
+    checkpoint — measured ~50 s of pure waste at sf1.0's 1.37M-edge
+    vocabulary graph.  Checkpoint-first runs that chain exactly once on
+    BOTH paths; the count/collect that follow are metadata-cheap reads
+    of local blocks.)  Production web-scale runs with billions of edges
+    take the iterative path: two groupBy/shuffle rounds per iteration,
+    each checkpointed to cut the exponentially-growing lineage (the
+    reference analog is its epoch-loop checkpointing,
+    task.py:135-151).  With a configured checkpoint dir the cut is
+    RELIABLE (executor loss cannot kill the truncated lineage);
+    otherwise localCheckpoint.  Pass ``small_graph_threshold=0`` to
+    force the distributed loop.
     """
     # undirected edge set, canonical (small, large) orientation
     und = (
@@ -194,20 +291,16 @@ def connected_components(
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
-    if small_graph_threshold:
-        # ONE job decides the path AND fetches the data: limit(T+1)
-        # terminates early on big graphs, and on small ones the probe IS
-        # the full edge list — replacing the old eager-checkpoint +
-        # fingerprint + collect (3 serial jobs) that dominated
-        # canonicalize's wall at vocabulary scale (entity-linking edge
-        # sets are tiny; the flagship profile showed the fixed job
-        # latency, not data, as the cost)
-        probe = und.limit(small_graph_threshold + 1).collect()
-        if len(probe) <= small_graph_threshold:
-            return _cc_driver_rows(
-                [(r.lo, r.hi) for r in probe], edges.sparkSession
-            )
     e = _checkpoint(und)
+    if small_graph_threshold:
+        if e.count() <= small_graph_threshold:
+            # Arrow collect (toPandas), not .collect(): 10-100x cheaper
+            # per row than py4j Row materialization at 10^5-10^6 edges
+            pdf = e.toPandas()
+            return _cc_driver_rows(
+                list(zip(pdf["lo"].tolist(), pdf["hi"].tolist())),
+                edges.sparkSession,
+            )
 
     def _sym(und: DataFrame) -> DataFrame:
         return und.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
@@ -299,7 +392,15 @@ def _cc_driver_rows(pairs: list, spark_session) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     nodes = {x for p in pairs for x in p}
     rows = [(n, find(n)) for n in sorted(nodes)]
-    return spark_session.createDataFrame(rows or [], "node long, component long")
+    if not rows:
+        return spark_session.createDataFrame([], "node long, component long")
+    # Arrow path for the way back too (a py4j row upload is the
+    # bottleneck at 10^5+ nodes; schema is fixed so pandas int64 == long)
+    import pandas as pd
+
+    return spark_session.createDataFrame(
+        pd.DataFrame(rows, columns=["node", "component"])
+    )
 
 
 def canonicalize(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
@@ -312,9 +413,7 @@ def canonicalize(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
     # bucket counts, payload re-attach, and the final membership join —
     # reads the materialized blocks instead of re-running the pipeline.
     signed = _checkpoint(minhash_signatures(entity_vocab(mentions)))
-    edges = verified_edges(
-        candidate_pairs_lsh(signed, materialize=False), threshold
-    )
+    edges = verified_pairs(signed, threshold)
     comps = connected_components(edges)
     return (
         signed.select("norm", "entity_key")

@@ -115,12 +115,12 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def _grams(words, n: int):
     """Word n-grams WITH duplicates (unlike dedup.word_shingles) — the
-    repetition signals need occurrence counts."""
-    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
+    repetition signals need occurrence counts.  Built by the zipped
+    shifted-copies shape (dedup._gram_array) so the ``words``
+    expression is not re-evaluated per element by the HOF lambda."""
+    from .dedup import _gram_array
+
+    return _gram_array(words, n)
 
 
 def _top_gram_cover(words, n: int):

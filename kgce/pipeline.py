@@ -221,6 +221,16 @@ def clean_pages(
         ).withColumnRenamed("doc_id", "_rk")
         out = out.drop("text").join(stripped2, "_rk").drop("_rk")
     if eval_docs is not None:
+        if boilerplate_min_df is not None or repeats_min_df is not None:
+            # decontaminate consumes `out` from TWO subtrees (the
+            # shingle-explode hit count + the flag rejoin); the earlier
+            # checkpoint covers only the pre-boilerplate prefix, so
+            # without this the boilerplate/repeats strip-and-rejoin
+            # would re-execute per consumer (the CLAUDE.md
+            # multi-consumer trap, measured ~2x the strip cost at sf1)
+            from .operators.linking import _checkpoint
+
+            out = _checkpoint(out)
         # key by the same md5(url, text) ROW key as the boilerplate strip
         # (ADVICE r3): a url crawled twice with different content keeps
         # two rows after the content-digest dedup, and a url-keyed pass
