@@ -202,11 +202,23 @@ def verified_pairs(
         banded = banded.join(small, "band")
     a = banded.select("band", F.col("entity_key").alias("a"))
     b = banded.select("band", F.col("entity_key").alias("b"))
+    # A bare hash exchange on the pair key stands between generation and
+    # verification — NOT a dropDuplicates: deduplicating 12M
+    # mostly-unique (a, b) keys builds useless partial-aggregation hash
+    # maps before the shuffle (measured ~2x the exchange cost), while
+    # NO exchange at all fuses the per-pair verify into the band-join
+    # stage, where the hottest bucket (k=2153 -> 2.3M pairs at sf1.0)
+    # runs as one straggler task (measured 1.5-2x slower than either).
+    # The exchange spreads verify work uniformly (pair keys are
+    # near-unique); a pair shared by several bands runs the cheap hash
+    # prefilter once per band and dedups in the ~11% survivor set below.
+    spark = signed.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     pairs = (
         a.join(b, "band")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
+        .repartition(n_part, "a", "b")
     )
     hashed = signed.select(
         "entity_key",
@@ -223,9 +235,11 @@ def verified_pairs(
     hunion = (F.size("_ha") + F.size("_hb")).cast("double") - hinter
     # epsilon absorbs the one-ulp division rounding at the threshold
     # boundary; any extra survivor dies in the exact pass
-    survivors = pre.filter(
-        hinter / hunion >= F.lit(threshold) - F.lit(1e-9)
-    ).select("a", "b")
+    survivors = (
+        pre.filter(hinter / hunion >= F.lit(threshold) - F.lit(1e-9))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
     payload = signed.select("entity_key", "shingles")
     exact = survivors.join(
         payload.select(F.col("entity_key").alias("a"), F.col("shingles").alias("sh_a")),

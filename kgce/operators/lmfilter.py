@@ -109,9 +109,15 @@ def train_bigram_lm(
     persist for reuse across scoring runs — callers scoring multiple
     corpora against one model should ``.persist()`` them.
     """
+    from .linking import _checkpoint
+
     stream = _token_stream(docs, id_col, text_col)
     words = stream.select(F.explode("_toks").alias("word"))
-    vocab = (
+    # the vocab is embedded in EVERY downstream consumer (the two unk
+    # joins at train time, two more per scoring pass, |V|); without
+    # materialization each subtree re-runs the corpus-wide word count +
+    # sort-limit — checkpoint the 4096-row table once
+    vocab = _checkpoint(
         words.groupBy("word")
         .agg(F.count("*").alias("_c"))
         .orderBy(F.col("_c").desc(), F.col("word").asc())
@@ -120,9 +126,14 @@ def train_bigram_lm(
     )
     # OOV->unk BEFORE counting so the model covers exactly the mapped space
     pairs = _map_unk(_bigram_pairs(stream), vocab)
-    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
-    contexts = pairs.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
-    n_vocab = vocab.count()  # one vocabulary-scale job
+    # one corpus aggregation: the context counts are a vocabulary-scale
+    # rollup of the bigram table (c1 = Σ_w2 c12 by definition), not a
+    # second pass over the exploded pair stream
+    bigrams = _checkpoint(
+        pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    )
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    n_vocab = vocab.count()  # cheap: reads the checkpointed blocks
     return BigramLM(vocab, contexts, bigrams, float(alpha), int(n_vocab) + 1)
 
 
