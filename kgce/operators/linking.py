@@ -268,7 +268,7 @@ def verified_edges(cands: DataFrame, threshold: float = 0.6) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, small_graph_threshold: int = 1_000_000
+    edges: DataFrame, max_iter: int = 20, small_graph_threshold: int = 4_000_000
 ) -> DataFrame:
     """A10: alternating large-star/small-star until fixpoint, with an
     adaptive small-graph fast path.
@@ -309,7 +309,12 @@ def connected_components(
     if small_graph_threshold:
         if e.count() <= small_graph_threshold:
             # Arrow collect (toPandas), not .collect(): 10-100x cheaper
-            # per row than py4j Row materialization at 10^5-10^6 edges
+            # per row than py4j Row materialization at 10^5-10^6 edges.
+            # The 4M default bound is a driver budget (~64 MB Arrow,
+            # ~4 s of path-compressed union-find — the same size class
+            # as a large broadcast); the distributed star loop needs
+            # several shuffle rounds over the same edges and only wins
+            # past that size.
             pdf = e.toPandas()
             return _cc_driver_rows(
                 list(zip(pdf["lo"].tolist(), pdf["hi"].tolist())),

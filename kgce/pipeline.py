@@ -150,6 +150,8 @@ def clean_pages(
     from .operators import textstats
     from .operators.dedup import normalize_doc
 
+    from .plans.partitioning import ensure_min_partitions
+
     out = pages
     if canonical_urls:
         # rewrite urls to canonical form FIRST so the digest dedup's
@@ -171,8 +173,6 @@ def clean_pages(
         # dedup-window output to one partition in the small-corpus
         # regime and serializes the filter; the keyed guard restores
         # parallelism (and is a no-op at production split counts)
-        from .plans.partitioning import ensure_min_partitions
-
         out = ensure_min_partitions(out, key="url")
         out = textstats.repetition_filter(out, id_col="url", text_col="text")
     if (
