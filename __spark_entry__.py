@@ -931,15 +931,12 @@ def bench_communities(spark, sf):
     synchronous-LPA Python oracle in tests/test_rules.py."""
     from kgce.operators import graph, ruletag
 
-    m = (
-        ruletag.document_mentions(_t(spark, sf, "documents"))
-        .select("doc_id", "mention_text")
-        .distinct()
+    m = ruletag.document_mentions(_t(spark, sf, "documents")).select(
+        "doc_id", "mention_text"
     )
-    a = m.select("doc_id", F.col("mention_text").alias("a"))
-    b = m.select("doc_id", F.col("mention_text").alias("b"))
-    edges = a.join(b, "doc_id").filter(F.col("a") < F.col("b")).select("a", "b")
-    labels = graph.label_propagation(edges, iterations=5)
+    # same one-pass pair build as q_triangle_stats (identical multiset
+    # to the old distinct + self-join; see graph.cooccurrence_pairs)
+    labels = graph.label_propagation(graph.cooccurrence_pairs(m), iterations=5)
     return labels.groupBy("label").agg(F.count("*").alias("size"))
 
 
@@ -1242,15 +1239,14 @@ def q_triangle_stats(spark, sf):
     blowup).  All-integer joins/counts, exactly reproduced by DuckDB."""
     from kgce.operators import graph
 
-    m = (
-        ruletag.document_mentions(_t(spark, sf, "documents"))
-        .select("doc_id", "mention_text")
-        .distinct()
+    m = ruletag.document_mentions(_t(spark, sf, "documents")).select(
+        "doc_id", "mention_text"
     )
-    a = m.select("doc_id", F.col("mention_text").alias("a"))
-    b = m.select("doc_id", F.col("mention_text").alias("b"))
-    edges = a.join(b, "doc_id").filter(F.col("a") < F.col("b")).select("a", "b")
-    return graph.triangle_stats(edges)
+    # one-pass pair build (groupBy + posexplode²) — the old
+    # distinct + self-join form executed the document_mentions window
+    # chain once per join side; identical pair multiset (see
+    # graph.cooccurrence_pairs)
+    return graph.triangle_stats(graph.cooccurrence_pairs(m))
 
 
 def q_quality_sample(spark, sf):

@@ -38,6 +38,31 @@ def canonical_edges(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
+def cooccurrence_pairs(
+    items: DataFrame, group_col: str = "doc_id", item_col: str = "mention_text"
+) -> DataFrame:
+    """(a, b) with a < b: all unordered pairs of DISTINCT items sharing
+    a group — the co-occurrence edge build.
+
+    One groupBy + JVM posexplode² instead of the naive
+    ``distinct() -> a ⋈ b ON group`` self-join: the self-join's two
+    renamed projections defeat exchange reuse, so the (expensive)
+    upstream item derivation executes once PER SIDE (the CLAUDE.md
+    multi-consumer trap), and the join shuffles the item table twice.
+    ``collect_set`` gives the per-group distinct for free and
+    ``array_sort`` makes the i<j index order the a<b value order, so
+    the emitted pair multiset is identical to the join form's (each
+    pair once per group it co-occurs in)."""
+    per_group = items.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("_ms")
+    )
+    e1 = per_group.select("_ms", F.posexplode("_ms").alias("i", "a"))
+    e2 = e1.select("i", "a", F.posexplode("_ms").alias("j", "b")).filter(
+        F.col("j") > F.col("i")
+    )
+    return e2.select("a", "b")
+
+
 def degrees(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """(node, degree) over the undirected distinct edge set."""
     e = canonical_edges(edges, a, b)
