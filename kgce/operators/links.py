@@ -237,6 +237,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src_host",
     dst: str = "dst_host",
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, rank) PageRank over a directed edge table.
 
@@ -250,7 +251,58 @@ def pagerank(
     the only driver-side data is one float per iteration.  Verified
     against a pure-Python power iteration (test_links.py).
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    from .linking import _checkpoint
+
+    # materialize the edge projection ONCE: the node-distinct, the
+    # out-degree aggregation and the normalized-edge join each consumed
+    # the lazy input before (3 upstream executions of whatever produced
+    # the edges — e.g. the whole link-extraction chain), and the
+    # small-graph probe below needs a cheap count.
+    e = _checkpoint(edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")))
+    if small_graph_threshold and e.count() <= small_graph_threshold:
+        # driver power iteration for vocabulary-scale graphs (host
+        # graphs are ~10^1-10^8 nodes; below the bound the distributed
+        # loop is pure scheduling latency — measured 7 s for 10
+        # iterations over an 80-edge graph).  Same formula, same
+        # dangling redistribution; summation order differs only in the
+        # last ulps (the pinned tolerance is 1e-9).
+        pdf = e.toPandas()
+        out: dict = {}
+        for s, t in zip(pdf["_s"].tolist(), pdf["_d"].tolist()):
+            out.setdefault(s, []).append(t)
+        node_set = sorted(set(pdf["_s"]) | set(pdf["_d"]))
+        n = len(node_set)
+        if n == 0:
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("node", e.schema["_s"].dataType, True),
+                    T.StructField("rank", T.DoubleType(), True),
+                ]
+            )
+            return edges.sparkSession.createDataFrame([], schema)
+        rank = {v: 1.0 / n for v in node_set}
+        for _ in range(iters):
+            contrib = {v: 0.0 for v in node_set}
+            linked_mass = 0.0
+            for s, ts in out.items():
+                w = rank[s] / len(ts)
+                linked_mass += rank[s]
+                for t in ts:
+                    contrib[t] += w
+            dangling = 1.0 - linked_mass
+            rank = {
+                v: (1 - damping) / n + damping * (contrib[v] + dangling / n)
+                for v in node_set
+            }
+        import pandas as pd
+
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {"node": node_set, "rank": [rank[v] for v in node_set]}
+            )
+        )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
@@ -282,15 +334,23 @@ def pagerank(
         if prev is not None:
             prev.unpersist()
         prev = contribs
-        # dangling mass = 1 - mass that flowed along edges: exact, one
-        # scalar scanned off the checkpoint (no recompute, no crossJoin)
-        m = contribs.agg(F.sum("_in")).first()[0] or 0.0
-        ranks = nodes.join(contribs, "node", "left").select(
+        # dangling mass = 1 - mass that flowed along edges: exact, the
+        # 1-row aggregate rides the next job as a crossJoined scalar
+        # read off the checkpoint — no per-iteration .first() driver
+        # round-trip (10 serial driver jobs of pure latency).  The
+        # expression (1.0 - sum)/n is the same IEEE sequence the old
+        # driver-side literal computed.
+        dm = contribs.agg(
+            (
+                (F.lit(1.0) - F.coalesce(F.sum("_in"), F.lit(0.0))) / F.lit(float(n))
+            ).alias("_dm")
+        )
+        ranks = nodes.join(contribs, "node", "left").crossJoin(dm).select(
             "node",
             (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping)
-                * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit((1.0 - m) / n))
+                * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm"))
             ).alias("rank"),
         )
     return ranks
