@@ -220,10 +220,16 @@ def verified_pairs(
         .select("a", "b")
         .repartition(n_part, "a", "b")
     )
+    # int32 (top-31-bit) hashes: half the bytes of int64 copied through
+    # the two 12M-row payload joins, measured ~10% off the whole chain;
+    # the conservativeness argument is collision-strength-independent
     hashed = signed.select(
         "entity_key",
         F.array_distinct(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.shiftright(F.xxhash64(s), 33).cast("int"),
+            )
         ).alias("_hs"),
     )
     pre = pairs.join(
