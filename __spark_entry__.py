@@ -92,7 +92,13 @@ def q_mentions_decode(spark, sf):
 
 
 def q_mention_pair_preds(spark, sf):
-    m = ruletag.document_mentions(_t(spark, sf, "documents"))
+    # J9's TRUE self-join form stays (property-equal to the grouped and
+    # fused forms) — but off a MATERIALIZED mention table: the two
+    # renamed projections defeat exchange reuse, so the lazy form ran
+    # the document_mentions window chain once per join side
+    m = linking_ops._checkpoint(
+        ruletag.document_mentions(_t(spark, sf, "documents"))
+    )
     a = m.select("doc_id", F.col("tok_s").alias("s_a"), F.col("mtype").alias("t_a"))
     b = m.select("doc_id", F.col("tok_s").alias("s_b"), F.col("mtype").alias("t_b"))
     pairs = a.join(b, "doc_id").filter(F.col("s_a") < F.col("s_b"))
@@ -102,7 +108,10 @@ def q_mention_pair_preds(spark, sf):
 
 
 def q_triples_agg(spark, sf):
-    m = ruletag.document_mentions(_t(spark, sf, "documents"))
+    # materialized once for the same reason as q_mention_pair_preds
+    m = linking_ops._checkpoint(
+        ruletag.document_mentions(_t(spark, sf, "documents"))
+    )
     a = m.select("doc_id", F.col("tok_s").alias("s_a"), F.col("mention_text").alias("subj_text"), F.col("mtype").alias("t_a"))
     b = m.select("doc_id", F.col("tok_s").alias("s_b"), F.col("mention_text").alias("obj_text"), F.col("mtype").alias("t_b"))
     pairs = a.join(b, "doc_id").filter(F.col("s_a") < F.col("s_b"))
