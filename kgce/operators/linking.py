@@ -274,7 +274,10 @@ def verified_edges(cands: DataFrame, threshold: float = 0.6) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, small_graph_threshold: int = 4_000_000
+    edges: DataFrame,
+    max_iter: int = 20,
+    small_graph_threshold: int = 4_000_000,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """A10: alternating large-star/small-star until fixpoint, with an
     adaptive small-graph fast path.
@@ -303,14 +306,22 @@ def connected_components(
     otherwise localCheckpoint.  Pass ``small_graph_threshold=0`` to
     force the distributed loop.
     """
-    # undirected edge set, canonical (small, large) orientation
-    und = (
-        edges.select(
-            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    # undirected edge set, canonical (small, large) orientation.
+    # ``assume_canonical``: the caller guarantees rows are already
+    # (a < b), distinct and self-loop-free (verified_pairs output is,
+    # by construction: pairs are generated with a < b and deduped) —
+    # skipping the re-canonicalization saves one full exchange +
+    # aggregation over the edge set.
+    if assume_canonical:
+        und = edges.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    else:
+        und = (
+            edges.select(
+                F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
     e = _checkpoint(und)
     if small_graph_threshold:
         if e.count() <= small_graph_threshold:
@@ -439,7 +450,10 @@ def canonicalize(mentions: DataFrame, threshold: float = 0.6) -> DataFrame:
     # reads the materialized blocks instead of re-running the pipeline.
     signed = _checkpoint(minhash_signatures(entity_vocab(mentions)))
     edges = verified_pairs(signed, threshold)
-    comps = connected_components(edges)
+    # verified_pairs emits (a < b), distinct, self-loop-free rows — the
+    # CC re-canonicalization pass (one exchange + agg over the edge
+    # set) is provably redundant here
+    comps = connected_components(edges, assume_canonical=True)
     return (
         signed.select("norm", "entity_key")
         .join(comps, signed.entity_key == comps.node, "left")
