@@ -176,9 +176,19 @@ def label_propagation(
     if weight is None:
         e = _checkpoint(canonical_edges(edges, a, b))
         sym = e.unionAll(e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi")))
-        sym = sym.select(
-            F.col("lo").alias("node"), F.col("hi").alias("nbr"), F.lit(1).alias("w")
-        ).persist()
+        # persisted PRE-PARTITIONED by node: hash(node) satisfies the
+        # clustered distribution of BOTH per-round aggregations
+        # (groupBy(node, label) and groupBy(node) — partitioning on a
+        # subset of the grouping keys suffices), and the labels join
+        # broadcasts, so each of the K rounds runs with ZERO edge-table
+        # shuffles instead of two
+        sym = (
+            sym.select(
+                F.col("lo").alias("node"), F.col("hi").alias("nbr"), F.lit(1).alias("w")
+            )
+            .repartition("node")
+            .persist()
+        )
     else:
         und = (
             edges.select(
@@ -194,9 +204,11 @@ def label_propagation(
         sym = und.unionAll(
             und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"), "w")
         )
-        sym = sym.select(
-            F.col("lo").alias("node"), F.col("hi").alias("nbr"), "w"
-        ).persist()
+        sym = (
+            sym.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"), "w")
+            .repartition("node")  # same zero-shuffle-rounds rationale as above
+            .persist()
+        )
     labels = sym.select("node").distinct().withColumn("label", F.col("node"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(iterations):
