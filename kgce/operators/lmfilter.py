@@ -71,6 +71,11 @@ class BigramLM(NamedTuple):
     bigrams: DataFrame
     alpha: float
     v: int  # |vocab| + 1 (<unk>)
+    # plan-literal membership set (filled by train_bigram_lm for
+    # bounded vocabularies): lets the OOV mapping run as an InSet
+    # projection instead of two broadcast joins per pass.  None => the
+    # join form (arbitrary external vocab tables).
+    words: tuple | None = None
 
 
 def _token_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -124,8 +129,16 @@ def train_bigram_lm(
         .limit(int(vocab_size))
         .select("word")
     )
+    # the vocab is checkpointed and vocabulary-scale by construction —
+    # collect it once so every unk-mapping pass (the train-time bigram
+    # count below AND every scoring pass) is a join-free InSet
+    # projection (bounded: past 64k words the plan-literal would bloat
+    # the plan, fall back to the join form)
+    word_rows = vocab.collect()
+    n_vocab = len(word_rows)
+    wl = tuple(r.word for r in word_rows) if n_vocab <= 65536 else None
     # OOV->unk BEFORE counting so the model covers exactly the mapped space
-    pairs = _map_unk(_bigram_pairs(stream), vocab)
+    pairs = _map_unk(_bigram_pairs(stream), vocab, wl)
     # one corpus aggregation: the context counts are a vocabulary-scale
     # rollup of the bigram table (c1 = Σ_w2 c12 by definition), not a
     # second pass over the exploded pair stream
@@ -133,13 +146,22 @@ def train_bigram_lm(
         pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    n_vocab = vocab.count()  # cheap: reads the checkpointed blocks
-    return BigramLM(vocab, contexts, bigrams, float(alpha), int(n_vocab) + 1)
+    return BigramLM(vocab, contexts, bigrams, float(alpha), int(n_vocab) + 1, wl)
 
 
-def _map_unk(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
-    """OOV mapping on the exploded pair stream: two UNHINTED left joins
-    against the vocab (AQE broadcasts when it measures small)."""
+def _map_unk(
+    pairs: DataFrame, vocab: DataFrame, words: tuple | None = None
+) -> DataFrame:
+    """OOV mapping on the exploded pair stream.  With ``words`` (a
+    bounded plan-literal vocabulary) membership is an InSet hash lookup
+    in the same projection — NO joins; otherwise two UNHINTED left
+    joins against the vocab table (AQE broadcasts when it measures
+    small)."""
+    if words is not None:
+        def _m(c):
+            return F.when(F.col(c).isin(*words), F.col(c)).otherwise(UNK).alias(c)
+
+        return pairs.select("_doc", _m("w1"), _m("w2"))
     v1 = vocab.select(F.col("word").alias("w1"), F.lit(True).alias("_in1"))
     v2 = vocab.select(F.col("word").alias("w2"), F.lit(True).alias("_in2"))
     return (
@@ -167,7 +189,7 @@ def perplexity(
     final per-doc aggregation (partial-aggregated).
     """
     stream = _token_stream(docs, id_col, text_col)
-    pairs = _map_unk(_bigram_pairs(stream), lm.vocab)
+    pairs = _map_unk(_bigram_pairs(stream), lm.vocab, getattr(lm, "words", None))
     scored = (
         pairs.join(lm.contexts, "w1", "left")
         .join(lm.bigrams, ["w1", "w2"], "left")
