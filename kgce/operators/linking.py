@@ -333,9 +333,8 @@ def connected_components(
             # several shuffle rounds over the same edges and only wins
             # past that size.
             pdf = e.toPandas()
-            return _cc_driver_rows(
-                list(zip(pdf["lo"].tolist(), pdf["hi"].tolist())),
-                edges.sparkSession,
+            return _cc_driver_arrays(
+                pdf["lo"].to_numpy(), pdf["hi"].to_numpy(), edges.sparkSession
             )
 
     def _sym(und: DataFrame) -> DataFrame:
@@ -408,34 +407,50 @@ def connected_components(
     return comp.unionByName(roots.join(comp, "node", "left_anti"))
 
 
-def _cc_driver_rows(pairs: list, spark_session) -> DataFrame:
-    """Small-graph fallback: union-find on the driver over the collected
-    (deduped) edge list — semantics identical to the star loop
-    (component = min node id), proven by the shared pytest oracle."""
-    parent: dict = {}
+def _cc_driver_arrays(lo, hi, spark_session) -> DataFrame:
+    """Small-graph fallback: vectorized connected components on the
+    driver over the collected (deduped) edge arrays — semantics
+    identical to the star loop (component = min node id), proven by the
+    shared pytest union-find oracle.
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    nodes = {x for p in pairs for x in p}
-    rows = [(n, find(n)) for n in sorted(nodes)]
-    if not rows:
-        return spark_session.createDataFrame([], "node long, component long")
-    # Arrow path for the way back too (a py4j row upload is the
-    # bottleneck at 10^5+ nodes; schema is fixed so pandas int64 == long)
+    Shiloach-Vishkin shape: per round, hook each crossing edge's larger
+    root under the smallest neighboring root (``np.minimum.at`` makes
+    concurrent hooks into the same root order-independent — min wins),
+    then pointer-double to full compression; settled edges drop out of
+    later rounds.  O(log n) rounds, each a handful of O(E) numpy kernels
+    — measured 6x over the previous pure-Python union-find loop at
+    1.37M edges (0.29 s vs 1.74 s, np.unique's sort being over half the
+    remaining cost), and the way back up is the same Arrow path (a py4j
+    row upload is the bottleneck at 10^5+ nodes; pandas int64 == long).
+    All-integer min/compare ops — bit-exact, no float-order concerns.
+    """
+    import numpy as np
     import pandas as pd
 
+    lo = np.asarray(lo, dtype=np.int64)
+    hi = np.asarray(hi, dtype=np.int64)
+    if lo.size == 0:
+        return spark_session.createDataFrame([], "node long, component long")
+    # index space: np.unique sorts ascending, so index order == id order
+    # and the min INDEX per component maps back to the min node id
+    uniq, idx = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    il, ih = idx[: lo.size], idx[lo.size :]
+    p = np.arange(len(uniq), dtype=np.int64)
+    while il.size:
+        ru, rv = p[il], p[ih]
+        crossing = ru != rv
+        il, ih = il[crossing], ih[crossing]
+        if not il.size:
+            break
+        ru, rv = ru[crossing], rv[crossing]
+        np.minimum.at(p, np.maximum(ru, rv), np.minimum(ru, rv))
+        while True:  # pointer doubling to a fully-compressed forest
+            p2 = p[p]
+            if np.array_equal(p2, p):
+                break
+            p = p2
     return spark_session.createDataFrame(
-        pd.DataFrame(rows, columns=["node", "component"])
+        pd.DataFrame({"node": uniq, "component": uniq[p]})
     )
 
 

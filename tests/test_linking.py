@@ -74,6 +74,25 @@ def test_connected_components_empty(spark):
     assert linking.connected_components(df).count() == 0
 
 
+def test_cc_driver_path_chain_and_negatives(spark):
+    # the vectorized driver path (Shiloach-Vishkin hooking + pointer
+    # doubling) on its own worst case: a long shuffled-id chain forces
+    # many hook rounds, and negative ids exercise the signed-int64
+    # min-index == min-id mapping
+    rng = random.Random(23)
+    ids = [rng.randrange(-(2**62), 2**62) for _ in range(500)]
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r.node: r.component
+        for r in linking.connected_components(
+            df, small_graph_threshold=1_000_000  # force the driver path
+        ).collect()
+    }
+    assert set(got.values()) == {min(ids)}
+    assert len(got) == len(set(ids))
+
+
 @pytest.mark.parametrize("seed", [3, 11])
 def test_triangle_stats_match_brute_force(spark, seed):
     """Degree-ordered triangle counting == O(n^3) brute force on random
