@@ -987,7 +987,10 @@ def q_connected_components(spark, sf):
     edges = dedup.minhash_lsh_pairs(_t(spark, sf, "documents")).select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     )
-    return linking_ops.connected_components(edges)
+    # minhash_lsh_pairs emits (a < b) + distinct, and the long cast of
+    # integral doc ids preserves both — the CC re-canonicalization pass
+    # (one exchange + agg over the edge set) is provably redundant
+    return linking_ops.connected_components(edges, assume_canonical=True)
 
 
 def q_simhash_pairs(spark, sf):

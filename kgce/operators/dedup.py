@@ -514,8 +514,14 @@ def near_dup_groups(
         docs.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
     )
     if integral:
+        # minhash_lsh_pairs emits (a < b) + distinct; the 1:1 shingle
+        # joins and the Jaccard filter preserve both, and so does the
+        # long cast of integral ids — skip CC's re-canonicalization.
+        # (The xxhash64 branch below must NOT skip it: hashing preserves
+        # neither the a < b order nor, under collision, loop-freeness.)
         comps = connected_components(
-            pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+            pairs.select(F.col("a").cast("long"), F.col("b").cast("long")),
+            assume_canonical=True,
         )
         ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
         return (
