@@ -165,13 +165,21 @@ def verified_pairs(
     self-join emits 12M candidate pairs from a 15k vocabulary at sf1.0
     and only ~11% survive the Jaccard filter):
 
-    * candidates attach an xxhash64-per-shingle LONG array first and a
-      hash-Jaccard prefilter drops the ~89% non-edges on cheap 8-byte
-      comparisons.  The prefilter is PROVABLY conservative regardless
-      of hash collisions: a collision can only inflate the hashed
-      intersection and shrink the hashed sizes, so
-      hash-Jaccard >= true Jaccard always — no true edge is dropped
-      (a false survivor is killed by the exact pass below);
+    * candidates attach an xxhash64-per-shingle (top-31-bit) INT array
+      first and a hash-Jaccard prefilter drops the ~89% non-edges on
+      cheap 4-byte comparisons.  Conservativeness (no true edge
+      dropped; a false survivor is killed by the exact pass below) is
+      PROVABLE when the hash is injective on each side's own shingle
+      array: then |h(A)∩h(B)| >= |h(A∩B)| = |A∩B| while
+      |h(A)|+|h(B)| = |A|+|B|, so hash-Jaccard >= true Jaccard.  A
+      WITHIN-surface collision breaks that bound (the collided
+      intersection can undercount — e.g. A={a1,a2,x}, B={a1,a2,y} with
+      h(a1)=h(a2) reads 1/3 against a true 2/4), so the per-surface
+      flag ``size(hashed) == size(shingles)`` detects exactly those
+      rows (~k²/2^32 of the vocabulary) and pairs touching one bypass
+      the prefilter straight into the exact verify.  The filter is
+      therefore lossless BY CONSTRUCTION at any scale, not just
+      empirically at the measured SFs;
     * only surviving pairs attach the string shingle arrays for the
       exact verify, and ``norm`` — which no edge consumer reads — never
       attaches at all;
@@ -221,8 +229,12 @@ def verified_pairs(
         .repartition(n_part, "a", "b")
     )
     # int32 (top-31-bit) hashes: half the bytes of int64 copied through
-    # the two 12M-row payload joins, measured ~10% off the whole chain;
-    # the conservativeness argument is collision-strength-independent
+    # the two 12M-row payload joins, measured ~10% off the whole chain.
+    # _inj = hash is injective on THIS surface's shingles (the hashed
+    # distinct array kept every element) — the precondition under which
+    # the prefilter bound is provable (see docstring); non-injective
+    # rows are ~k²/2^32 of the vocabulary and their pairs skip the
+    # prefilter (the exact pass decides them).
     hashed = signed.select(
         "entity_key",
         F.array_distinct(
@@ -231,18 +243,34 @@ def verified_pairs(
                 lambda s: F.shiftright(F.xxhash64(s), 33).cast("int"),
             )
         ).alias("_hs"),
+        F.size("shingles").alias("_ns"),
+    ).select(
+        "entity_key", "_hs", (F.size("_hs") == F.col("_ns")).alias("_inj")
     )
     pre = pairs.join(
-        hashed.select(F.col("entity_key").alias("a"), F.col("_hs").alias("_ha")), "a"
+        hashed.select(
+            F.col("entity_key").alias("a"),
+            F.col("_hs").alias("_ha"),
+            F.col("_inj").alias("_ia"),
+        ),
+        "a",
     ).join(
-        hashed.select(F.col("entity_key").alias("b"), F.col("_hs").alias("_hb")), "b"
+        hashed.select(
+            F.col("entity_key").alias("b"),
+            F.col("_hs").alias("_hb"),
+            F.col("_inj").alias("_ib"),
+        ),
+        "b",
     )
     hinter = F.size(F.array_intersect("_ha", "_hb")).cast("double")
     hunion = (F.size("_ha") + F.size("_hb")).cast("double") - hinter
     # epsilon absorbs the one-ulp division rounding at the threshold
     # boundary; any extra survivor dies in the exact pass
     survivors = (
-        pre.filter(hinter / hunion >= F.lit(threshold) - F.lit(1e-9))
+        pre.filter(
+            (hinter / hunion >= F.lit(threshold) - F.lit(1e-9))
+            | ~(F.col("_ia") & F.col("_ib"))
+        )
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )

@@ -151,6 +151,37 @@ def test_canonicalize_clusters_near_duplicates(spark):
     assert rows2 == by_norm
 
 
+def test_verified_pairs_equals_reference_composition(spark):
+    # the prefiltered fast path must emit EXACTLY the edges of the
+    # public composition verified_edges(candidate_pairs_lsh(...)) —
+    # including the injectivity bypass rows (the prefilter may only
+    # ever pass extra pairs, never drop one the exact verify keeps)
+    rng = random.Random(41)
+    words = ["spark", "table", "merge", "query", "vector", "window"]
+    surfaces = set()
+    for i in range(120):
+        w = rng.choice(words)
+        surfaces.add(w + " " + w[: 3 + rng.randrange(3)] + str(i % 7))
+    mentions = spark.createDataFrame(
+        [(s,) for s in surfaces], "text string"
+    ).select(F.lit("u").alias("url"), F.col("text"))
+    signed = linking.minhash_signatures(
+        linking.entity_vocab(mentions)
+    ).localCheckpoint(eager=True)
+    fast = {
+        (r.a, r.b, round(r.jaccard, 9))
+        for r in linking.verified_pairs(signed, 0.6).collect()
+    }
+    ref = {
+        (r.a, r.b, round(r.jaccard, 9))
+        for r in linking.verified_edges(
+            linking.candidate_pairs_lsh(signed, materialize=False), 0.6
+        ).collect()
+    }
+    assert fast == ref
+    assert fast  # non-degenerate: the corpus must actually produce edges
+
+
 def test_blocking_quality_gauge(spark):
     from kgce.operators import linking
 
